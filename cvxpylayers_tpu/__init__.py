@@ -9,3 +9,54 @@ under jit/vmap/grad/pjit.
 """
 
 __version__ = "0.1.0"
+
+from .expressions import (  # noqa: E402,F401
+    Constant,
+    Constraint,
+    Equality,
+    ExpCone,
+    Inequality,
+    Maximize,
+    Minimize,
+    NonNeg,
+    Parameter,
+    PowCone3D,
+    Problem,
+    PSD,
+    SOC,
+    Variable,
+    abs,
+    diag,
+    entr,
+    exp,
+    geo_mean,
+    hstack,
+    huber,
+    inv_pos,
+    kl_div,
+    lambda_max,
+    lambda_min,
+    log,
+    log_sum_exp,
+    logistic,
+    max,
+    maximum,
+    min,
+    minimum,
+    multiply,
+    neg,
+    norm,
+    pnorm,
+    pos,
+    power,
+    quad_form,
+    quad_over_lin,
+    rel_entr,
+    reshape,
+    sqrt,
+    square,
+    sum,
+    sum_squares,
+    trace,
+    vstack,
+)

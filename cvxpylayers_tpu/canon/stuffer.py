@@ -1,0 +1,241 @@
+"""Cone matrix stuffing: canonicalized blocks -> ConeProgram.
+
+Produces the framework's central compile-time artifact: fixed sparsity
+patterns (A_rows/A_cols, b_rows) plus parameter-affine value maps
+
+    A_data = reduced_A @ [p; 1],   b = scatter(reduced_b @ [p; 1], b_rows),
+    q      = reduced_q @ [p; 1]    (last row = constant objective offset)
+
+mirroring the reference's reduced_A / q_mat contract (cvxpylayers SURVEY
+section 0; utils/parse_args.py:482,503-505) with the standard-form sign
+convention s = b - Ax (A = -V for s = Vx + c, cf. diffcp_if.py:46-70).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..cones.dims import ConeDims
+from ..expressions.leaf import Parameter, Variable
+from ..expressions.problem import Maximize, Problem
+from .canonicalizer import Canonicalizer, ConeBlock
+from .tensor_rep import CONST, TensorRep
+
+
+@dataclasses.dataclass
+class DualInfo:
+    """Where a user constraint's dual lives in the cone-ordered y vector."""
+
+    offset: int
+    length: int
+    kind: str
+    meta: object  # psd side, soc size, exp count, pow alphas
+    shape: Tuple[int, ...]  # user-facing shape for zero/nonneg duals
+
+
+@dataclasses.dataclass
+class VarInfo:
+    offset: int
+    shape: Tuple[int, ...]
+    symmetric: bool
+
+
+@dataclasses.dataclass
+class ConeProgram:
+    dims: ConeDims
+    n: int
+    m: int
+    n_param: int
+    params: List[Parameter]
+    param_offsets: Dict[int, int]
+    # fixed sparsity + parameter-affine maps
+    A_rows: np.ndarray
+    A_cols: np.ndarray
+    reduced_A: sp.csr_matrix      # (nnz_A, n_param + 1)
+    b_rows: np.ndarray
+    reduced_b: sp.csr_matrix      # (nb, n_param + 1)
+    reduced_q: sp.csr_matrix      # (n + 1, n_param + 1)
+    var_info: Dict[int, VarInfo]  # id(var) -> VarInfo
+    dual_info: Dict[int, DualInfo]  # constraint.id -> DualInfo
+    maximize: bool
+
+
+def _collect(blocks: List[ConeBlock]):
+    reps = [b.rep for b in blocks]
+    sizes = [r.n_rows for r in reps]
+    return reps, sizes
+
+
+def stuff(problem: Problem, params: List[Parameter]) -> ConeProgram:
+    """Canonicalize and stuff `problem` over the given parameter order."""
+    canon = Canonicalizer(params)
+
+    # Register user variables first for stable, user-var-first column layout.
+    for v in problem.variables():
+        canon.register_variable(v)
+
+    obj_rep = canon.rep_of(problem.objective.expr)
+    maximize = isinstance(problem.objective, Maximize)
+    if maximize:
+        obj_rep = obj_rep.neg()
+
+    for c in problem.constraints:
+        canon.canon_constraint(c)
+
+    # ---- order blocks: zero, nonneg, soc, exp, psd, pow -------------------
+    ordered: List[Tuple[str, ConeBlock]] = []
+    for fam, blist in (
+        ("zero", canon.zero_blocks),
+        ("nonneg", canon.nonneg_blocks),
+        ("soc", canon.soc_blocks),
+        ("exp", canon.exp_blocks),
+        ("psd", canon.psd_blocks),
+        ("pow", canon.pow_blocks),
+    ):
+        for b in blist:
+            ordered.append((fam, b))
+
+    dims = ConeDims(
+        zero=sum(b.rep.n_rows for b in canon.zero_blocks),
+        nonneg=sum(b.rep.n_rows for b in canon.nonneg_blocks),
+        soc=tuple(b.meta for b in canon.soc_blocks),
+        exp=sum(b.meta for b in canon.exp_blocks),
+        psd=tuple(b.meta for b in canon.psd_blocks),
+        pow3=tuple(a for b in canon.pow_blocks for a in b.meta),
+    )
+    m = dims.total
+    n = canon.n_var
+    n_param = canon.n_param
+
+    # ---- global rows + dual slices ---------------------------------------
+    dual_info: Dict[int, DualInfo] = {}
+    all_rows = []
+    all_vars = []
+    all_params = []
+    all_vals = []
+    offset = 0
+    for fam, b in ordered:
+        r = b.rep
+        if b.constraint_id is not None:
+            shape = ()
+            cshape = getattr(
+                _find_constraint(problem, b.constraint_id), "shape", None
+            )
+            if cshape is not None:
+                shape = cshape
+            dual_info[b.constraint_id] = DualInfo(
+                offset=offset, length=r.n_rows, kind=fam, meta=b.meta,
+                shape=shape,
+            )
+        all_rows.append(r.rows + offset)
+        all_vars.append(r.var_cols)
+        all_params.append(r.param_cols)
+        all_vals.append(r.vals)
+        offset += r.n_rows
+    assert offset == m, (offset, m)
+
+    if all_rows:
+        rows = np.concatenate(all_rows)
+        vcols = np.concatenate(all_vars)
+        pcols = np.concatenate(all_params)
+        vals = np.concatenate(all_vals)
+    else:
+        rows = np.zeros(0, dtype=np.int64)
+        vcols = rows.copy()
+        pcols = rows.copy()
+        vals = np.zeros(0)
+
+    # ---- A: var entries (negated), fixed sparsity in CSR order ------------
+    is_var = vcols != CONST
+    a_r, a_v, a_p, a_val = rows[is_var], vcols[is_var], pcols[is_var], -vals[is_var]
+    if a_r.size:
+        pattern = np.stack([a_r, a_v], axis=1)
+        uniq, slot = np.unique(pattern, axis=0, return_inverse=True)
+        # np.unique sorts lexicographically by (row, col) = CSR order
+        A_rows = uniq[:, 0].astype(np.int64)
+        A_cols = uniq[:, 1].astype(np.int64)
+        nnz_A = uniq.shape[0]
+        p_idx = np.where(a_p == CONST, n_param, a_p)
+        reduced_A = sp.csr_matrix(
+            (a_val, (slot, p_idx)), shape=(nnz_A, n_param + 1)
+        )
+    else:
+        A_rows = np.zeros(0, dtype=np.int64)
+        A_cols = np.zeros(0, dtype=np.int64)
+        reduced_A = sp.csr_matrix((0, n_param + 1))
+
+    # ---- b: constant-column entries ---------------------------------------
+    is_b = ~is_var
+    b_r, b_p, b_val = rows[is_b], pcols[is_b], vals[is_b]
+    if b_r.size:
+        b_rows, b_slot = np.unique(b_r, return_inverse=True)
+        p_idx = np.where(b_p == CONST, n_param, b_p)
+        reduced_b = sp.csr_matrix(
+            (b_val, (b_slot, p_idx)), shape=(b_rows.size, n_param + 1)
+        )
+        b_rows = b_rows.astype(np.int64)
+    else:
+        b_rows = np.zeros(0, dtype=np.int64)
+        reduced_b = sp.csr_matrix((0, n_param + 1))
+
+    # ---- q: objective ------------------------------------------------------
+    o_var = obj_rep.var_cols
+    o_p = np.where(obj_rep.param_cols == CONST, n_param, obj_rep.param_cols)
+    q_row = np.where(o_var == CONST, n, o_var)
+    reduced_q = sp.csr_matrix(
+        (obj_rep.vals, (q_row, o_p)), shape=(n + 1, n_param + 1)
+    )
+
+    var_info = {
+        vid: VarInfo(offset=off, shape=var.shape, symmetric=var.symmetric)
+        for vid, (off, var) in canon.var_offsets.items()
+    }
+
+    return ConeProgram(
+        dims=dims,
+        n=n,
+        m=m,
+        n_param=n_param,
+        params=list(params),
+        param_offsets=dict(canon.param_offsets),
+        A_rows=A_rows,
+        A_cols=A_cols,
+        reduced_A=reduced_A,
+        b_rows=b_rows,
+        reduced_b=reduced_b,
+        reduced_q=reduced_q,
+        var_info=var_info,
+        dual_info=dual_info,
+        maximize=maximize,
+    )
+
+
+def _find_constraint(problem: Problem, cid: int):
+    for c in problem.constraints:
+        if c.id == cid:
+            return c
+    return None
+
+
+# --------------------------------------------------------------- numpy eval
+
+
+def eval_data(prog: ConeProgram, param_values: List[np.ndarray]):
+    """Reference (numpy) evaluation of the affine maps, for tests and eager
+    use: returns dense (A, b, q, q_offset)."""
+    p_ext = np.concatenate(
+        [np.asarray(v, dtype=np.float64).reshape(-1) for v in param_values]
+        + [np.ones(1)]
+    )
+    A_data = prog.reduced_A @ p_ext
+    b_data = prog.reduced_b @ p_ext
+    q_full = prog.reduced_q @ p_ext
+    A = np.zeros((prog.m, prog.n))
+    A[prog.A_rows, prog.A_cols] = A_data
+    b = np.zeros(prog.m)
+    b[prog.b_rows] = b_data
+    return A, b, q_full[:-1], q_full[-1]

@@ -1,0 +1,657 @@
+"""Affine atoms: add, negate, scalar/elementwise/matrix multiplication,
+indexing, reshape, transpose, stacking, sum, trace, diag, broadcast.
+
+Canonicalization builds constant linear maps (scipy sparse) applied to the
+argument TensorReps, or — when a parameter-dependent factor is involved —
+uses the TensorRep join-products that enforce DPP structurally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..expression import (
+    Curvature,
+    Expression,
+    Sign,
+    as_expression,
+    broadcast_shapes_add,
+    shape_size,
+)
+from .base import Atom
+
+
+def _selection_matrix(flat_idx: np.ndarray, n_in: int) -> sp.csr_matrix:
+    """L with L[i, flat_idx[i]] = 1."""
+    flat_idx = np.asarray(flat_idx, dtype=np.int64).reshape(-1)
+    n_out = flat_idx.size
+    return sp.csr_matrix(
+        (np.ones(n_out), (np.arange(n_out), flat_idx)), shape=(n_out, n_in)
+    )
+
+
+def broadcast_map(from_shape, to_shape) -> sp.csr_matrix:
+    """Linear map flattening numpy broadcasting from from_shape to to_shape."""
+    src = np.broadcast_to(
+        np.arange(shape_size(from_shape)).reshape(from_shape), to_shape
+    )
+    return _selection_matrix(src.reshape(-1), shape_size(from_shape))
+
+
+class AddExpression(Atom):
+    @staticmethod
+    def create(a: Expression, b: Expression) -> Expression:
+        return AddExpression(a, b)
+
+    def shape_from_args(self):
+        return broadcast_shapes_add(self.args[0].shape, self.args[1].shape)
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return Sign.add(self.args[0].sign(), self.args[1].sign())
+
+    def canon(self, ctx, arg_reps):
+        out = None
+        for a, r in zip(self.args, arg_reps):
+            if a.shape != self.shape:
+                r = r.apply_linear(broadcast_map(a.shape, self.shape))
+            out = r if out is None else out + r
+        return out
+
+    @property
+    def value(self):
+        va, vb = self.args[0].value, self.args[1].value
+        if va is None or vb is None:
+            return None
+        return va + vb
+
+
+class NegExpression(Atom):
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def is_decr(self, i):
+        return True
+
+    def sign(self):
+        return -self.args[0].sign()
+
+    def canon(self, ctx, arg_reps):
+        return arg_reps[0].neg()
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        return None if v is None else -v
+
+
+def multiply_dispatch(a: Expression, b: Expression) -> Expression:
+    """`a * b`: scalar scaling or elementwise multiply."""
+    if a.is_scalar() or b.is_scalar():
+        return ScalarMul(a, b)
+    return Multiply(a, b)
+
+
+class _ProductMixin:
+    """Shared DCP/DPP logic for products."""
+
+    def _const_side(self):
+        """Index of the variable-free factor, or None."""
+        if not self.args[0].has_var():
+            return 0
+        if not self.args[1].has_var():
+            return 1
+        return None
+
+    def curvature(self) -> Curvature:
+        a, b = self.args
+        ci = self._const_side()
+        if ci is None:
+            return Curvature.UNKNOWN  # var * var is not DCP
+        const, other = self.args[ci], self.args[1 - ci]
+        oc = other.curvature()
+        if oc is Curvature.CONSTANT:
+            return Curvature.CONSTANT
+        if oc is Curvature.AFFINE:
+            return Curvature.AFFINE
+        # convex/concave scaled by a sign-known constant
+        if const.is_nonneg():
+            return oc
+        if const.is_nonpos():
+            return (
+                Curvature.CONCAVE if oc is Curvature.CONVEX else Curvature.CONVEX
+            )
+        return Curvature.UNKNOWN
+
+    def _dpp_ok(self) -> bool:
+        a, b = self.args
+        if not all(x._dpp_ok() for x in self.args):
+            return False
+        # at most one factor may involve parameters, and it must be
+        # parameter-affine and variable-free
+        if a.has_param() and b.has_param():
+            return False
+        if a.has_var() and b.has_var():
+            return False
+        return True
+
+    def sign(self):
+        return Sign.mul(self.args[0].sign(), self.args[1].sign())
+
+    def _canon_product(self, ctx, arg_reps, kind: str):
+        """kind in {scalar, elemwise}."""
+        a, b = self.args
+        ra, rb = arg_reps
+        if a.has_var() and b.has_var():
+            raise ValueError(
+                "product of two variable expressions is not DCP"
+            )
+        # orient: multiplier (var-free) first
+        if a.has_var():
+            a, b, ra, rb = b, a, rb, ra
+        if a.has_param():
+            if kind == "scalar":
+                if a.is_scalar():
+                    return ra.param_scalar_mul(
+                        rb if b.shape == self.shape
+                        else rb.apply_linear(broadcast_map(b.shape, self.shape))
+                    )
+                # scalar var-side: broadcast b to a's shape then elementwise
+                rb2 = rb.apply_linear(broadcast_map(b.shape, self.shape))
+                return ra.param_elemwise(rb2)
+            ra2 = (
+                ra if a.shape == self.shape
+                else ra.apply_linear(broadcast_map(a.shape, self.shape))
+            )
+            rb2 = (
+                rb if b.shape == self.shape
+                else rb.apply_linear(broadcast_map(b.shape, self.shape))
+            )
+            return ra2.param_elemwise(rb2)
+        # constant multiplier: a constant ndarray
+        c = a.value
+        if c is None:
+            raise ValueError("non-parameter constant factor without a value")
+        cb = np.broadcast_to(np.asarray(c, dtype=np.float64), self.shape).reshape(-1)
+        rb2 = (
+            rb if b.shape == self.shape
+            else rb.apply_linear(broadcast_map(b.shape, self.shape))
+        )
+        return rb2.apply_linear(sp.diags(cb))
+
+
+class ScalarMul(_ProductMixin, Atom):
+    def shape_from_args(self):
+        return broadcast_shapes_add(self.args[0].shape, self.args[1].shape)
+
+    def validate(self):
+        if not (self.args[0].is_scalar() or self.args[1].is_scalar()):
+            raise ValueError("ScalarMul needs a scalar factor")
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        return self._canon_product(ctx, arg_reps, "scalar")
+
+    @property
+    def value(self):
+        va, vb = self.args[0].value, self.args[1].value
+        if va is None or vb is None:
+            return None
+        return va * vb
+
+
+class Multiply(_ProductMixin, Atom):
+    """Elementwise (Hadamard) product."""
+
+    def shape_from_args(self):
+        return broadcast_shapes_add(self.args[0].shape, self.args[1].shape)
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        return self._canon_product(ctx, arg_reps, "elemwise")
+
+    @property
+    def value(self):
+        va, vb = self.args[0].value, self.args[1].value
+        if va is None or vb is None:
+            return None
+        return va * vb
+
+
+def multiply(a, b) -> Expression:
+    return multiply_dispatch(as_expression(a), as_expression(b))
+
+
+class MatMul(_ProductMixin, Atom):
+    @staticmethod
+    def create(a: Expression, b: Expression) -> Expression:
+        if a.is_scalar() or b.is_scalar():
+            raise ValueError("use * for scalar multiplication, @ for matmul")
+        return MatMul(a, b)
+
+    def shape_from_args(self):
+        sa, sb = self.args[0].shape, self.args[1].shape
+        if len(sa) == 1 and len(sb) == 1:
+            if sa[0] != sb[0]:
+                raise ValueError(f"matmul mismatch {sa} @ {sb}")
+            return ()
+        if len(sa) == 2 and len(sb) == 1:
+            if sa[1] != sb[0]:
+                raise ValueError(f"matmul mismatch {sa} @ {sb}")
+            return (sa[0],)
+        if len(sa) == 1 and len(sb) == 2:
+            if sa[0] != sb[0]:
+                raise ValueError(f"matmul mismatch {sa} @ {sb}")
+            return (sb[1],)
+        if sa[1] != sb[0]:
+            raise ValueError(f"matmul mismatch {sa} @ {sb}")
+        return (sa[0], sb[1])
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        a, b = self.args
+        ra, rb = arg_reps
+        # 2-D views of both operands
+        sa = a.shape if len(a.shape) == 2 else (1, a.shape[0])
+        sb = b.shape if len(b.shape) == 2 else (b.shape[0], 1)
+        if len(a.shape) == 1 and len(b.shape) == 2:
+            sa = (1, a.shape[0])
+        if len(a.shape) == 2 and len(b.shape) == 1:
+            sb = (b.shape[0], 1)
+        # (flat C-order of the 2-D view equals flat of the 1-D vector)
+        if not a.has_var():
+            if a.has_param():
+                return ra.param_matmul_left(sa, rb, sb)
+            C = np.asarray(a.value, dtype=np.float64).reshape(sa)
+            L = sp.kron(sp.csr_matrix(C), sp.identity(sb[1], format="csr"))
+            return rb.apply_linear(L)
+        if not b.has_var():
+            if b.has_param():
+                return rb.param_matmul_right(sb, ra, sa)
+            C = np.asarray(b.value, dtype=np.float64).reshape(sb)
+            L = sp.kron(sp.identity(sa[0], format="csr"), sp.csr_matrix(C.T))
+            return ra.apply_linear(L)
+        raise ValueError("matmul of two variable expressions is not DCP")
+
+    @property
+    def value(self):
+        va, vb = self.args[0].value, self.args[1].value
+        if va is None or vb is None:
+            return None
+        return va @ vb
+
+
+class Index(Atom):
+    def __init__(self, expr, key):
+        self.key = key
+        super().__init__(expr)
+
+    def shape_from_args(self):
+        probe = np.empty(self.args[0].shape, dtype=np.int8)[self.key]
+        return probe.shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return self.args[0].sign()
+
+    def canon(self, ctx, arg_reps):
+        src = np.arange(self.args[0].size).reshape(self.args[0].shape)[self.key]
+        return arg_reps[0].apply_linear(
+            _selection_matrix(src.reshape(-1), self.args[0].size)
+        )
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        return None if v is None else v[self.key]
+
+
+class Reshape(Atom):
+    def __init__(self, expr, shape):
+        self._shape_arg = tuple(
+            int(s) for s in (shape if isinstance(shape, (tuple, list)) else (shape,))
+        )
+        super().__init__(expr)
+
+    def shape_from_args(self):
+        if shape_size(self._shape_arg) != self.args[0].size:
+            raise ValueError(
+                f"cannot reshape {self.args[0].shape} to {self._shape_arg}"
+            )
+        return self._shape_arg
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return self.args[0].sign()
+
+    def canon(self, ctx, arg_reps):
+        # C-order reshape: flat layout unchanged
+        r = arg_reps[0]
+        return type(r)(self.size, r.rows, r.var_cols, r.param_cols, r.vals)
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        return None if v is None else v.reshape(self._shape_arg)
+
+
+def reshape(expr, shape) -> Expression:
+    return Reshape(as_expression(expr), shape)
+
+
+class Transpose(Atom):
+    def shape_from_args(self):
+        s = self.args[0].shape
+        return (s[1], s[0])
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return self.args[0].sign()
+
+    def canon(self, ctx, arg_reps):
+        m, n = self.args[0].shape
+        src = np.arange(m * n).reshape(m, n).T
+        return arg_reps[0].apply_linear(_selection_matrix(src.reshape(-1), m * n))
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        return None if v is None else v.T
+
+
+class Sum(Atom):
+    def __init__(self, expr, axis=None, keepdims=False):
+        self.axis = axis
+        self.keepdims = bool(keepdims)
+        super().__init__(expr)
+
+    def shape_from_args(self):
+        probe = np.empty(self.args[0].shape, dtype=np.int8).sum(
+            axis=self.axis, keepdims=self.keepdims
+        )
+        return probe.shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return self.args[0].sign()
+
+    def canon(self, ctx, arg_reps):
+        n_in = self.args[0].size
+        idx = np.arange(n_in).reshape(self.args[0].shape)
+        # group input flat indices by output flat index
+        out_idx = np.zeros(self.args[0].shape, dtype=np.int64)
+        if self.axis is not None:
+            grid = np.indices(self.args[0].shape)
+            kept = [
+                g for d, g in enumerate(grid)
+                if d != (self.axis % len(self.args[0].shape))
+            ]
+            if kept:
+                flat = np.zeros_like(kept[0])
+                out_shape_nk = tuple(
+                    s for d, s in enumerate(self.args[0].shape)
+                    if d != (self.axis % len(self.args[0].shape))
+                )
+                stride = 1
+                for d in range(len(out_shape_nk) - 1, -1, -1):
+                    flat = flat + kept[d] * stride
+                    stride *= out_shape_nk[d]
+                out_idx = flat
+        L = sp.csr_matrix(
+            (np.ones(n_in), (out_idx.reshape(-1), idx.reshape(-1))),
+            shape=(self.size, n_in),
+        )
+        return arg_reps[0].apply_linear(L)
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        if v is None:
+            return None
+        return np.sum(v, axis=self.axis, keepdims=self.keepdims)
+
+
+def sum(expr, axis=None, keepdims=False) -> Expression:  # noqa: A001
+    return Sum(as_expression(expr), axis=axis, keepdims=keepdims)
+
+
+class Hstack(Atom):
+    def shape_from_args(self):
+        shapes = [a.shape for a in self.args]
+        probes = [np.empty(s, dtype=np.int8) for s in shapes]
+        return np.hstack(probes).shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        total = self.size
+        out = None
+        offset_arrays = np.hstack(
+            [
+                np.arange(a.size).reshape(a.shape) + sum_
+                for a, sum_ in zip(
+                    self.args,
+                    np.cumsum([0] + [a.size for a in self.args[:-1]]),
+                )
+            ]
+        ).reshape(-1)
+        # offset_arrays[j] = global source slot for output flat j, where the
+        # "global source" is the concatenation of the args' flat layouts.
+        for k, (a, r) in enumerate(zip(self.args, arg_reps)):
+            base = int(np.sum([x.size for x in self.args[:k]], dtype=np.int64))
+            # positions of this arg's entries in the output
+            mask = (offset_arrays >= base) & (offset_arrays < base + a.size)
+            tgt = np.flatnonzero(mask)
+            src = offset_arrays[mask] - base
+            L = sp.csr_matrix(
+                (np.ones(tgt.size), (tgt, src)), shape=(total, a.size)
+            )
+            piece = r.apply_linear(L)
+            out = piece if out is None else out + piece
+        return out
+
+    @property
+    def value(self):
+        vals = [a.value for a in self.args]
+        if any(v is None for v in vals):
+            return None
+        return np.hstack(vals)
+
+
+class Vstack(Atom):
+    def shape_from_args(self):
+        probes = [np.empty(a.shape, dtype=np.int8) for a in self.args]
+        return np.vstack(probes).shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        # vstack promotes 1-D (n,) to (1, n); C-order flat layout is then the
+        # simple concatenation of the args' flats.
+        out = None
+        offset = 0
+        for a, r in zip(self.args, arg_reps):
+            L = sp.csr_matrix(
+                (
+                    np.ones(a.size),
+                    (np.arange(a.size) + offset, np.arange(a.size)),
+                ),
+                shape=(self.size, a.size),
+            )
+            piece = r.apply_linear(L)
+            out = piece if out is None else out + piece
+            offset += a.size
+        return out
+
+    @property
+    def value(self):
+        vals = [a.value for a in self.args]
+        if any(v is None for v in vals):
+            return None
+        return np.vstack(vals)
+
+
+def hstack(args) -> Expression:
+    return Hstack(*[as_expression(a) for a in args])
+
+
+def vstack(args) -> Expression:
+    return Vstack(*[as_expression(a) for a in args])
+
+
+class Trace(Atom):
+    def shape_from_args(self):
+        s = self.args[0].shape
+        if len(s) != 2 or s[0] != s[1]:
+            raise ValueError("trace needs a square matrix")
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        n = self.args[0].shape[0]
+        diag_idx = np.arange(n) * n + np.arange(n)
+        L = sp.csr_matrix(
+            (np.ones(n), (np.zeros(n, dtype=np.int64), diag_idx)),
+            shape=(1, n * n),
+        )
+        return arg_reps[0].apply_linear(L)
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        return None if v is None else np.trace(v)
+
+
+def trace(expr) -> Expression:
+    return Trace(as_expression(expr))
+
+
+class Diag(Atom):
+    """vector -> diagonal matrix; matrix -> its diagonal as a vector."""
+
+    def shape_from_args(self):
+        s = self.args[0].shape
+        if len(s) == 1:
+            return (s[0], s[0])
+        if len(s) == 2 and s[0] == s[1]:
+            return (s[0],)
+        raise ValueError("diag needs a vector or square matrix")
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return self.args[0].sign()
+
+    def canon(self, ctx, arg_reps):
+        s = self.args[0].shape
+        if len(s) == 1:
+            n = s[0]
+            tgt = np.arange(n) * n + np.arange(n)
+            L = sp.csr_matrix(
+                (np.ones(n), (tgt, np.arange(n))), shape=(n * n, n)
+            )
+        else:
+            n = s[0]
+            src = np.arange(n) * n + np.arange(n)
+            L = _selection_matrix(src, n * n)
+        return arg_reps[0].apply_linear(L)
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        return None if v is None else np.diag(v)
+
+
+def diag(expr) -> Expression:
+    return Diag(as_expression(expr))

@@ -1,0 +1,955 @@
+"""Nonlinear atoms and their conic graph implementations (epigraph/hypograph
+transforms into Zero/NonNeg/SOC/Exp/PSD/Pow3D cones).
+
+Atom set is scoped to what the reference's test corpus exercises
+(cvxpylayers SURVEY section 4: LAD, least squares, logistic regression,
+entropy projection, SDP trace minimization, OptNet QPs, GP problems, and the
+functional layer zoo).
+
+Canonicalization contract: `canon(ctx, arg_reps)` may allocate auxiliary
+variable columns (ctx.new_aux) and add cone constraint blocks
+(ctx.add_zero/add_nonneg/add_soc/add_exp/add_psd/add_pow), and returns the
+TensorRep of the atom's replacement expression. Exactness of the relaxation
+is guaranteed by DCP validation before canon (standard graph-implementation
+argument, as in CVXPY).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ...canon.tensor_rep import TensorRep
+from ..expression import Curvature, Expression, Sign, as_expression
+from .base import Atom
+from .affine import _selection_matrix
+
+
+# --------------------------------------------------------------------- helpers
+
+
+def _ones_row(n: int) -> sp.csr_matrix:
+    return sp.csr_matrix(np.ones((1, n)))
+
+
+def _aux(ctx, n: int) -> TensorRep:
+    off = ctx.new_aux(n)
+    return TensorRep.variable(n, off)
+
+
+def _scale_rows(rep: TensorRep, c: float) -> TensorRep:
+    return rep.scale(c)
+
+
+def _const_rep(n: int, val: float) -> TensorRep:
+    return TensorRep.constant(np.full(n, float(val)))
+
+
+# ----------------------------------------------------------------- elementwise
+
+
+class Abs(Atom):
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return self.args[0].is_nonneg()
+
+    def is_decr(self, i):
+        return self.args[0].is_nonpos()
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        t = _aux(ctx, x.n_rows)
+        ctx.add_nonneg(t + x.neg())  # t - x >= 0
+        ctx.add_nonneg(t + x)        # t + x >= 0
+        return t
+
+
+def abs(expr) -> Expression:  # noqa: A001
+    return Abs(as_expression(expr))
+
+
+class Pos(Atom):
+    """max(x, 0) elementwise."""
+
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        t = _aux(ctx, x.n_rows)
+        ctx.add_nonneg(t + x.neg())
+        ctx.add_nonneg(t)
+        return t
+
+
+def pos(expr) -> Expression:
+    return Pos(as_expression(expr))
+
+
+def neg(expr) -> Expression:
+    """max(-x, 0), the negative part (nonneg, convex)."""
+    return Pos(-as_expression(expr))
+
+
+class Square(Atom):
+    """x^2 elementwise via 3-dim rotated SOC blocks."""
+
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return self.args[0].is_nonneg()
+
+    def is_decr(self, i):
+        return self.args[0].is_nonpos()
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        t = _aux(ctx, n)
+        # per element: ||[2 x_i ; 1 - t_i]|| <= 1 + t_i
+        for i in range(n):
+            sel = _selection_matrix([i], n)
+            xi = x.apply_linear(sel)
+            ti = t.apply_linear(sel)
+            ctx.add_soc(
+                [ti + _const_rep(1, 1.0),           # 1 + t
+                 xi.scale(2.0),                     # 2x
+                 ti.neg() + _const_rep(1, 1.0)]     # 1 - t
+            )
+        return t
+
+
+def square(expr) -> Expression:
+    return Square(as_expression(expr))
+
+
+class Exp(Atom):
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        t = _aux(ctx, x.n_rows)
+        # t_i >= e^{x_i}  <=>  (x_i, 1, t_i) in Kexp
+        ctx.add_exp(x, _const_rep(x.n_rows, 1.0), t)
+        return t
+
+
+def exp(expr) -> Expression:
+    return Exp(as_expression(expr))
+
+
+class Log(Atom):
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return False
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        t = _aux(ctx, x.n_rows)
+        # t_i <= log x_i  <=>  (t_i, 1, x_i) in Kexp
+        ctx.add_exp(t, _const_rep(x.n_rows, 1.0), x)
+        return t
+
+
+def log(expr) -> Expression:
+    return Log(as_expression(expr))
+
+
+class Entr(Atom):
+    """-x log x elementwise (concave)."""
+
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return False
+
+    def is_atom_concave(self):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        t = _aux(ctx, x.n_rows)
+        # t_i <= -x_i log x_i  <=>  (t_i, x_i, 1) in Kexp
+        ctx.add_exp(t, x, _const_rep(x.n_rows, 1.0))
+        return t
+
+
+def entr(expr) -> Expression:
+    return Entr(as_expression(expr))
+
+
+class RelEntr(Atom):
+    """x log(x/y) elementwise (convex, jointly)."""
+
+    def shape_from_args(self):
+        if self.args[0].shape != self.args[1].shape:
+            raise ValueError("rel_entr args must share a shape")
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def canon(self, ctx, arg_reps):
+        x, y = arg_reps
+        t = _aux(ctx, x.n_rows)
+        # t >= x log(x/y)  <=>  (-t, x, y) in Kexp
+        ctx.add_exp(t.neg(), x, y)
+        return t
+
+
+def rel_entr(x, y) -> Expression:
+    return RelEntr(as_expression(x), as_expression(y))
+
+
+def kl_div(x, y) -> Expression:
+    """x log(x/y) - x + y (nonneg, convex)."""
+    x = as_expression(x)
+    y = as_expression(y)
+    return RelEntr(x, y) - x + y
+
+
+class Logistic(Atom):
+    """log(1 + e^x) elementwise."""
+
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        t = _aux(ctx, n)
+        u = _aux(ctx, n)
+        v = _aux(ctx, n)
+        ones = _const_rep(n, 1.0)
+        # e^{x - t} <= u, e^{-t} <= v, u + v <= 1
+        ctx.add_exp(x + t.neg(), ones, u)
+        ctx.add_exp(t.neg(), ones, v)
+        ctx.add_nonneg(ones + u.neg() + v.neg())
+        return t
+
+
+def logistic(expr) -> Expression:
+    return Logistic(as_expression(expr))
+
+
+class InvPos(Atom):
+    """1/x for x > 0, elementwise, convex decreasing."""
+
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_decr(self, i):
+        return True
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        t = _aux(ctx, n)
+        # t x >= 1, x, t >= 0  <=>  ||[2 ; x - t]|| <= x + t  per element
+        for i in range(n):
+            sel = _selection_matrix([i], n)
+            xi = x.apply_linear(sel)
+            ti = t.apply_linear(sel)
+            ctx.add_soc([xi + ti, _const_rep(1, 2.0), xi + ti.neg()])
+        return t
+
+
+def inv_pos(expr) -> Expression:
+    return InvPos(as_expression(expr))
+
+
+class Sqrt(Atom):
+    """sqrt(x) elementwise, concave increasing on x >= 0."""
+
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return False
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        t = _aux(ctx, n)
+        # t^2 <= x  <=>  ||[2t ; x - 1]|| <= x + 1  per element
+        for i in range(n):
+            sel = _selection_matrix([i], n)
+            xi = x.apply_linear(sel)
+            ti = t.apply_linear(sel)
+            ctx.add_soc(
+                [xi + _const_rep(1, 1.0), ti.scale(2.0), xi + _const_rep(1, -1.0)]
+            )
+        return t
+
+
+def sqrt(expr) -> Expression:
+    return Sqrt(as_expression(expr))
+
+
+class Huber(Atom):
+    """Huber loss, elementwise: x^2 for |x|<=M, M(2|x|-M) beyond."""
+
+    def __init__(self, expr, M=1.0):
+        self.M = float(M)
+        if self.M <= 0:
+            raise ValueError("huber threshold M must be positive")
+        super().__init__(expr)
+
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return self.args[0].is_nonneg()
+
+    def is_decr(self, i):
+        return self.args[0].is_nonpos()
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        # huber(x) = min_{x = w + v} w^2 + 2 M |v|
+        w = _aux(ctx, n)
+        v = _aux(ctx, n)
+        s = _aux(ctx, n)  # s >= w^2
+        a = _aux(ctx, n)  # a >= |v|
+        ctx.add_zero(x + w.neg() + v.neg())  # x - w - v == 0
+        ctx.add_nonneg(a + v.neg())
+        ctx.add_nonneg(a + v)
+        for i in range(n):
+            sel = _selection_matrix([i], n)
+            wi = w.apply_linear(sel)
+            si = s.apply_linear(sel)
+            ctx.add_soc(
+                [si + _const_rep(1, 1.0), wi.scale(2.0),
+                 si.neg() + _const_rep(1, 1.0)]
+            )
+        return s + a.scale(2.0 * self.M)
+
+
+def huber(expr, M=1.0) -> Expression:
+    return Huber(as_expression(expr), M)
+
+
+class Power(Atom):
+    """x^p elementwise via 3-D power cones (p in (0,1): concave;
+    p > 1: convex on its domain; p = 1 or 2 handled by callers)."""
+
+    def __init__(self, expr, p):
+        self.p = float(p)
+        super().__init__(expr)
+
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return self.p >= 1.0
+
+    def is_atom_concave(self):
+        return 0.0 < self.p <= 1.0
+
+    def is_incr(self, i):
+        if 0 < self.p <= 1:
+            return True
+        return self.args[0].is_nonneg()
+
+    def is_decr(self, i):
+        return False
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        t = _aux(ctx, n)
+        ones = _const_rep(1, 1.0)
+        for i in range(n):
+            sel = _selection_matrix([i], n)
+            xi = x.apply_linear(sel)
+            ti = t.apply_linear(sel)
+            if 0 < self.p < 1:
+                # t <= x^p: (x, 1, t) in Pow(p)
+                ctx.add_pow(xi, ones, ti, self.p)
+            elif self.p > 1:
+                # t >= x^p (x >= 0): x <= t^{1/p}: (t, 1, x) in Pow(1/p)
+                ctx.add_pow(ti, ones, xi, 1.0 / self.p)
+            else:
+                raise ValueError(f"unsupported power {self.p}")
+        return t
+
+
+def power(expr, p) -> Expression:
+    expr = as_expression(expr)
+    p = float(p)
+    if p == 1.0:
+        return expr
+    if p == 2.0:
+        return Square(expr)
+    if p == 0.5:
+        return Sqrt(expr)
+    if p == 0:
+        from ..leaf import Constant
+
+        return Constant(np.ones(expr.shape))
+    return Power(expr, p)
+
+
+# -------------------------------------------------------------------- norms
+
+
+class Norm1(Atom):
+    def shape_from_args(self):
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return self.args[0].is_nonneg()
+
+    def is_decr(self, i):
+        return self.args[0].is_nonpos()
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        t = _aux(ctx, x.n_rows)
+        ctx.add_nonneg(t + x.neg())
+        ctx.add_nonneg(t + x)
+        return t.apply_linear(_ones_row(x.n_rows))
+
+
+class Norm2(Atom):
+    """Euclidean norm of a vector (or Frobenius norm of a matrix)."""
+
+    def shape_from_args(self):
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return self.args[0].is_nonneg()
+
+    def is_decr(self, i):
+        return self.args[0].is_nonpos()
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        t = _aux(ctx, 1)
+        ctx.add_soc([t, x])
+        return t
+
+
+class NormInf(Atom):
+    def shape_from_args(self):
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return self.args[0].is_nonneg()
+
+    def is_decr(self, i):
+        return self.args[0].is_nonpos()
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        t = _aux(ctx, 1)
+        t_full = t.apply_linear(sp.csr_matrix(np.ones((n, 1))))
+        ctx.add_nonneg(t_full + x.neg())
+        ctx.add_nonneg(t_full + x)
+        return t
+
+
+def norm(expr, p=2) -> Expression:
+    expr = as_expression(expr)
+    if p in (1, "1"):
+        return Norm1(expr)
+    if p in (2, "2", "fro"):
+        return Norm2(expr)
+    if p in (np.inf, "inf"):
+        return NormInf(expr)
+    raise ValueError(f"unsupported norm order {p}")
+
+
+def pnorm(expr, p=2) -> Expression:
+    return norm(expr, p)
+
+
+class SumSquares(Atom):
+    """||x||^2 as a single scalar (rotated SOC)."""
+
+    def shape_from_args(self):
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return self.args[0].is_nonneg()
+
+    def is_decr(self, i):
+        return self.args[0].is_nonpos()
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        t = _aux(ctx, 1)
+        # ||[2x ; 1 - t]|| <= 1 + t
+        ctx.add_soc([t + _const_rep(1, 1.0), x.scale(2.0),
+                     t.neg() + _const_rep(1, 1.0)])
+        return t
+
+
+def sum_squares(expr) -> Expression:
+    return SumSquares(as_expression(expr))
+
+
+class QuadOverLin(Atom):
+    """x'x / y (y scalar, positive)."""
+
+    def shape_from_args(self):
+        if not self.args[1].is_scalar():
+            raise ValueError("quad_over_lin denominator must be scalar")
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return i == 0 and self.args[0].is_nonneg()
+
+    def is_decr(self, i):
+        return (i == 0 and self.args[0].is_nonpos()) or i == 1
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x, y = arg_reps
+        t = _aux(ctx, 1)
+        # ||[2x ; y - t]|| <= y + t   (implies y >= 0)
+        ctx.add_soc([y + t, x.scale(2.0), y + t.neg()])
+        return t
+
+
+def quad_over_lin(x, y) -> Expression:
+    return QuadOverLin(as_expression(x), as_expression(y))
+
+
+def quad_form(x, P) -> Expression:
+    """x' P x for constant PSD (or NSD) P.
+
+    Parameter-valued P requires the QP objective path (reference
+    _quad_form_dpp.py); supported separately via the P-matrix pipeline.
+    """
+    x = as_expression(x)
+    P = as_expression(P)
+    if P.has_var():
+        raise ValueError("quad_form requires a constant or parameter P")
+    if P.has_param():
+        raise NotImplementedError(
+            "parametric quad_form is handled by the QP objective path; "
+            "construct the problem with sum_squares or wait for the "
+            "quad-objective pipeline"
+        )
+    Pv = np.asarray(P.value, dtype=np.float64)
+    Pv = 0.5 * (Pv + Pv.T)
+    w, V = np.linalg.eigh(Pv)
+    if np.all(w >= -1e-9):
+        w = np.maximum(w, 0.0)
+        F = (V * np.sqrt(w)[None, :]).T  # P = F'F
+        return sum_squares(_const_matmul(F, x))
+    if np.all(w <= 1e-9):
+        w = np.maximum(-w, 0.0)
+        F = (V * np.sqrt(w)[None, :]).T
+        return -sum_squares(_const_matmul(F, x))
+    raise ValueError("quad_form requires a definite (PSD or NSD) matrix")
+
+
+def _const_matmul(F, x):
+    from ..leaf import Constant
+
+    return Constant(F) @ x
+
+
+# ----------------------------------------------------- max / min family
+
+
+class MaxEntries(Atom):
+    """max over all entries (scalar)."""
+
+    def shape_from_args(self):
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        t = _aux(ctx, 1)
+        t_full = t.apply_linear(sp.csr_matrix(np.ones((n, 1))))
+        ctx.add_nonneg(t_full + x.neg())
+        return t
+
+
+class MinEntries(Atom):
+    def shape_from_args(self):
+        return ()
+
+    def is_atom_convex(self):
+        return False
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        t = _aux(ctx, 1)
+        t_full = t.apply_linear(sp.csr_matrix(np.ones((n, 1))))
+        ctx.add_nonneg(x + t_full.neg())
+        return t
+
+
+def max(expr):  # noqa: A001
+    return MaxEntries(as_expression(expr))
+
+
+def min(expr):  # noqa: A001
+    return MinEntries(as_expression(expr))
+
+
+class Maximum(Atom):
+    """Elementwise maximum of expressions."""
+
+    def shape_from_args(self):
+        from ..expression import broadcast_shapes_add
+
+        s = self.args[0].shape
+        for a in self.args[1:]:
+            s = broadcast_shapes_add(s, a.shape)
+        return s
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        from .affine import broadcast_map
+
+        t = _aux(ctx, self.size)
+        for a, r in zip(self.args, arg_reps):
+            if a.shape != self.shape:
+                r = r.apply_linear(broadcast_map(a.shape, self.shape))
+            ctx.add_nonneg(t + r.neg())
+        return t
+
+
+class Minimum(Atom):
+    def shape_from_args(self):
+        from ..expression import broadcast_shapes_add
+
+        s = self.args[0].shape
+        for a in self.args[1:]:
+            s = broadcast_shapes_add(s, a.shape)
+        return s
+
+    def is_atom_convex(self):
+        return False
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        from .affine import broadcast_map
+
+        t = _aux(ctx, self.size)
+        for a, r in zip(self.args, arg_reps):
+            if a.shape != self.shape:
+                r = r.apply_linear(broadcast_map(a.shape, self.shape))
+            ctx.add_nonneg(r + t.neg())
+        return t
+
+
+def maximum(*args) -> Expression:
+    return Maximum(*[as_expression(a) for a in args])
+
+
+def minimum(*args) -> Expression:
+    return Minimum(*[as_expression(a) for a in args])
+
+
+# -------------------------------------------------------- log_sum_exp, geo
+
+
+class LogSumExp(Atom):
+    def shape_from_args(self):
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        t = _aux(ctx, 1)
+        u = _aux(ctx, n)
+        t_full = t.apply_linear(sp.csr_matrix(np.ones((n, 1))))
+        ones = _const_rep(n, 1.0)
+        # e^{x_i - t} <= u_i, sum u <= 1
+        ctx.add_exp(x + t_full.neg(), ones, u)
+        ctx.add_nonneg(_const_rep(1, 1.0) + u.apply_linear(_ones_row(n)).neg())
+        return t
+
+
+def log_sum_exp(expr) -> Expression:
+    return LogSumExp(as_expression(expr))
+
+
+class GeoMean(Atom):
+    """(x_1 ... x_n)^{1/n} for a nonneg vector, via a power-cone chain."""
+
+    def shape_from_args(self):
+        if self.args[0].ndim != 1:
+            raise ValueError("geo_mean needs a vector")
+        return ()
+
+    def is_atom_convex(self):
+        return False
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        if n == 1:
+            return x
+        # y_1 = x_1; y_k <= x_k^{1/k} y_{k-1}^{(k-1)/k}
+        y_prev = x.apply_linear(_selection_matrix([0], n))
+        for k in range(2, n + 1):
+            xk = x.apply_linear(_selection_matrix([k - 1], n))
+            yk = _aux(ctx, 1)
+            ctx.add_pow(xk, y_prev, yk, 1.0 / k)
+            y_prev = yk
+        return y_prev
+
+
+def geo_mean(expr) -> Expression:
+    return GeoMean(as_expression(expr))
+
+
+# ------------------------------------------------------------ spectral atoms
+
+
+class LambdaMax(Atom):
+    def shape_from_args(self):
+        s = self.args[0].shape
+        if len(s) != 2 or s[0] != s[1]:
+            raise ValueError("lambda_max needs a square matrix")
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def canon(self, ctx, arg_reps):
+        X = arg_reps[0]
+        s = self.args[0].shape[0]
+        t = _aux(ctx, 1)
+        # t I - X >= 0 (PSD)
+        eye = TensorRep.constant(np.eye(s).reshape(-1))
+        tI = t.apply_linear(
+            sp.csr_matrix(np.eye(s).reshape(-1, 1))
+        )
+        del eye
+        ctx.add_psd(tI + X.neg(), s)
+        return t
+
+
+class LambdaMin(Atom):
+    def shape_from_args(self):
+        s = self.args[0].shape
+        if len(s) != 2 or s[0] != s[1]:
+            raise ValueError("lambda_min needs a square matrix")
+        return ()
+
+    def is_atom_convex(self):
+        return False
+
+    def is_atom_concave(self):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        X = arg_reps[0]
+        s = self.args[0].shape[0]
+        t = _aux(ctx, 1)
+        tI = t.apply_linear(sp.csr_matrix(np.eye(s).reshape(-1, 1)))
+        ctx.add_psd(X + tI.neg(), s)
+        return t
+
+
+def lambda_max(expr) -> Expression:
+    return LambdaMax(as_expression(expr))
+
+
+def lambda_min(expr) -> Expression:
+    return LambdaMin(as_expression(expr))

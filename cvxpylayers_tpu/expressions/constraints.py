@@ -1,0 +1,162 @@
+"""Constraint objects.
+
+Sign/dual conventions (calibrated to match the reference's cvxpy-style
+duals, cvxpylayers tests/test_dual_variables.py):
+  * Equality lhs == rhs: cone row block s = rhs - lhs in Zero; the free dual
+    y enters the Lagrangian as y'(lhs - rhs).
+  * Inequality lhs <= rhs: s = rhs - lhs in NonNeg; dual y >= 0 multiplies
+    (lhs - rhs).
+  * SOC(t, X): ||X||_2 <= t.
+  * ExpCone(x, y, z): y e^{x/y} <= z (elementwise triples).
+  * PSD(X): X symmetric PSD; dual returned as a symmetric matrix.
+  * PowCone3D(x, y, z, alpha): x^alpha y^(1-alpha) >= |z|.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+from .expression import Curvature, Expression, as_expression
+
+_constraint_counter = itertools.count()
+
+
+class Constraint:
+    def __init__(self, args):
+        self.args = tuple(args)
+        self.id = next(_constraint_counter)
+
+    def variables(self):
+        seen = {}
+        for a in self.args:
+            for v in a.variables():
+                seen[id(v)] = v
+        return list(seen.values())
+
+    def parameters(self):
+        seen = {}
+        for a in self.args:
+            for p in a.parameters():
+                seen[id(p)] = p
+        return list(seen.values())
+
+    def is_dcp(self) -> bool:
+        raise NotImplementedError
+
+    def _dpp_ok(self) -> bool:
+        return all(a._dpp_ok() for a in self.args)
+
+    def __bool__(self):
+        raise TypeError(
+            "A constraint has no truth value; use it in Problem(constraints=[...])."
+        )
+
+    def __hash__(self):
+        return id(self)
+
+
+class Equality(Constraint):
+    def __init__(self, lhs: Expression, rhs: Expression):
+        super().__init__([lhs, rhs])
+
+    def is_dcp(self) -> bool:
+        return self.args[0].is_affine() and self.args[1].is_affine()
+
+    @property
+    def shape(self):
+        from .expression import broadcast_shapes_add
+
+        return broadcast_shapes_add(self.args[0].shape, self.args[1].shape)
+
+    def __repr__(self):
+        return f"Equality({self.args[0]} == {self.args[1]})"
+
+
+class Inequality(Constraint):
+    """lhs <= rhs."""
+
+    def __init__(self, lhs: Expression, rhs: Expression):
+        super().__init__([lhs, rhs])
+
+    def is_dcp(self) -> bool:
+        return self.args[0].is_convex() and self.args[1].is_concave()
+
+    @property
+    def shape(self):
+        from .expression import broadcast_shapes_add
+
+        return broadcast_shapes_add(self.args[0].shape, self.args[1].shape)
+
+    def __repr__(self):
+        return f"Inequality({self.args[0]} <= {self.args[1]})"
+
+
+class SOC(Constraint):
+    """||X||_2 <= t, t scalar affine, X affine (flattened)."""
+
+    def __init__(self, t, X):
+        t = as_expression(t)
+        X = as_expression(X)
+        if not t.is_scalar():
+            raise ValueError("SOC t must be scalar")
+        super().__init__([t, X])
+
+    def is_dcp(self) -> bool:
+        return all(a.is_affine() for a in self.args)
+
+    def __repr__(self):
+        return f"SOC(t={self.args[0]}, X={self.args[1]})"
+
+
+class ExpCone(Constraint):
+    """(x, y, z) in Kexp elementwise: y e^(x/y) <= z."""
+
+    def __init__(self, x, y, z):
+        x, y, z = (as_expression(a) for a in (x, y, z))
+        if not (x.shape == y.shape == z.shape):
+            raise ValueError("ExpCone arguments must share a shape")
+        super().__init__([x, y, z])
+
+    def is_dcp(self) -> bool:
+        return all(a.is_affine() for a in self.args)
+
+
+class PSD(Constraint):
+    """X >> 0 for a square affine expression (symmetrized)."""
+
+    def __init__(self, X):
+        X = as_expression(X)
+        if X.ndim != 2 or X.shape[0] != X.shape[1]:
+            raise ValueError("PSD constraint needs a square matrix")
+        super().__init__([X])
+
+    def is_dcp(self) -> bool:
+        return self.args[0].is_affine()
+
+
+class PowCone3D(Constraint):
+    """(x, y, z) with x^alpha y^(1-alpha) >= |z| elementwise."""
+
+    def __init__(self, x, y, z, alpha):
+        x, y, z = (as_expression(a) for a in (x, y, z))
+        if not (x.shape == y.shape == z.shape):
+            raise ValueError("PowCone3D arguments must share a shape")
+        self.alpha = np.broadcast_to(
+            np.asarray(alpha, dtype=np.float64), x.shape if x.shape else ()
+        ).reshape(-1)
+        super().__init__([x, y, z])
+
+    def is_dcp(self) -> bool:
+        return all(a.is_affine() for a in self.args)
+
+
+class NonNeg(Constraint):
+    """x >= 0."""
+
+    def __init__(self, x):
+        super().__init__([as_expression(x)])
+
+    def is_dcp(self) -> bool:
+        return self.args[0].is_affine()

@@ -1,0 +1,276 @@
+"""Canonicalization correctness.
+
+Two layers of validation:
+1. Affine-map exactness: for affine expressions of variables and parameters,
+   the TensorRep must reproduce a hand-written numpy oracle exactly at random
+   variable/parameter assignments (rep.eval probes the full 3-axis tensor).
+2. LP end-to-end: stuffed cone programs solved with scipy.optimize.linprog
+   (an independent solver) must match a direct formulation of the original
+   problem — exercising epigraph transforms and cone ordering.
+"""
+
+import numpy as np
+import pytest
+import scipy.optimize
+
+import cvxpylayers_tpu as ct
+from cvxpylayers_tpu.canon import stuff, eval_data
+from cvxpylayers_tpu.canon.canonicalizer import Canonicalizer
+
+rng = np.random.default_rng(42)
+
+
+def affine_oracle_check(expr, params, param_values, oracle, n_trials=4):
+    """Check rep(expr) against `oracle(x_assignments..., param_values...)`.
+
+    `oracle` takes a dict {var: ndarray} and returns the numpy value.
+    """
+    canon = Canonicalizer(params)
+    variables = expr.variables()
+    for v in variables:
+        canon.register_variable(v)
+    rep = canon.rep_of(expr)
+    n = canon.n_var
+    p_ext = np.concatenate(
+        [np.asarray(pv).reshape(-1) for pv in param_values] + [np.ones(1)]
+    )
+    for _ in range(n_trials):
+        x = rng.standard_normal(n)
+        x_ext = np.concatenate([x, np.ones(1)])
+        got = rep.eval(x_ext, p_ext).reshape(expr.shape)
+        assign = {}
+        for v in variables:
+            off, _ = canon.var_offsets[id(v)]
+            if v.symmetric:
+                from cvxpylayers_tpu.cones.projections import svec_to_sym
+                import jax.numpy as jnp
+
+                d = v.shape[0] * (v.shape[0] + 1) // 2
+                assign[v] = np.asarray(svec_to_sym(jnp.asarray(x[off:off + d]),
+                                                   v.shape[0]))
+            else:
+                assign[v] = x[off:off + v.size].reshape(v.shape)
+        want = oracle(assign)
+        np.testing.assert_allclose(got, want, atol=1e-10, err_msg=str(expr))
+
+
+class TestAffineCanon:
+    def test_matmul_const(self):
+        x = ct.Variable(3)
+        A = rng.standard_normal((2, 3))
+        affine_oracle_check(ct.Constant(A) @ x, [], [], lambda a: A @ a[x])
+
+    def test_matmul_param(self):
+        x = ct.Variable(3)
+        A = ct.Parameter((2, 3))
+        Av = rng.standard_normal((2, 3))
+        affine_oracle_check(A @ x, [A], [Av], lambda a: Av @ a[x])
+
+    def test_matmul_param_right(self):
+        X = ct.Variable((2, 3))
+        B = ct.Parameter((3, 4))
+        Bv = rng.standard_normal((3, 4))
+        affine_oracle_check(X @ B, [B], [Bv], lambda a: a[X] @ Bv)
+
+    def test_vec_matmul(self):
+        x = ct.Variable(3)
+        b = ct.Parameter(3)
+        bv = rng.standard_normal(3)
+        affine_oracle_check(b @ x, [b], [bv], lambda a: bv @ a[x])
+
+    def test_add_broadcast_scale(self):
+        x = ct.Variable((2, 3))
+        c = ct.Parameter(())
+        cv = np.asarray(1.7)
+        affine_oracle_check(
+            2.0 * x + c - 1.0, [c], [cv], lambda a: 2.0 * a[x] + cv - 1.0
+        )
+
+    def test_elemwise_param(self):
+        x = ct.Variable((2, 2))
+        W = ct.Parameter((2, 2))
+        Wv = rng.standard_normal((2, 2))
+        affine_oracle_check(
+            ct.multiply(W, x), [W], [Wv], lambda a: Wv * a[x]
+        )
+
+    def test_index_transpose_reshape(self):
+        X = ct.Variable((3, 4))
+        expr = ct.reshape(X.T[1:3, :2], (4,))
+        affine_oracle_check(
+            expr, [], [], lambda a: a[X].T[1:3, :2].reshape(4)
+        )
+
+    def test_sum_axis(self):
+        X = ct.Variable((3, 4))
+        affine_oracle_check(ct.sum(X, axis=0), [], [],
+                            lambda a: a[X].sum(axis=0))
+        affine_oracle_check(ct.sum(X, axis=1), [], [],
+                            lambda a: a[X].sum(axis=1))
+        affine_oracle_check(ct.sum(X), [], [], lambda a: a[X].sum())
+
+    def test_stack_trace_diag(self):
+        x = ct.Variable(3)
+        y = ct.Variable(3)
+        affine_oracle_check(
+            ct.hstack([x, 2 * y]), [], [], lambda a: np.hstack([a[x], 2 * a[y]])
+        )
+        X = ct.Variable((3, 3))
+        affine_oracle_check(ct.trace(X), [], [], lambda a: np.trace(a[X]))
+        affine_oracle_check(ct.diag(X), [], [], lambda a: np.diag(a[X]))
+        affine_oracle_check(ct.diag(x), [], [], lambda a: np.diag(a[x]))
+
+    def test_vstack_2d(self):
+        X = ct.Variable((2, 3))
+        Y = ct.Variable((1, 3))
+        affine_oracle_check(
+            ct.vstack([X, Y]), [], [], lambda a: np.vstack([a[X], a[Y]])
+        )
+
+    def test_symmetric_variable(self):
+        S = ct.Variable((3, 3), symmetric=True)
+        affine_oracle_check(ct.trace(S), [], [], lambda a: np.trace(a[S]))
+        affine_oracle_check(ct.sum(S), [], [], lambda a: a[S].sum())
+
+    def test_param_scalar_times_matrix_var(self):
+        X = ct.Variable((2, 2))
+        c = ct.Parameter(())
+        cv = np.asarray(-0.3)
+        affine_oracle_check(c * X, [c], [cv], lambda a: cv * a[X])
+
+
+class TestDPPViolations:
+    def test_param_param_product(self):
+        x = ct.Variable(3)
+        a = ct.Parameter(3)
+        b = ct.Parameter(())
+        expr = (b * a) @ x
+        prob = ct.Problem(ct.Minimize(expr), [x >= 0])
+        assert not prob.is_dpp()
+        with pytest.raises(ValueError, match="DPP"):
+            stuff(prob, [a, b])
+
+    def test_var_var_product(self):
+        x = ct.Variable(())
+        y = ct.Variable(())
+        with pytest.raises(ValueError, match="not DCP|DPP"):
+            prob = ct.Problem(ct.Minimize(ct.multiply(x, y)))
+            stuff(prob, [])
+
+    def test_param_divide(self):
+        x = ct.Variable(3)
+        a = ct.Parameter(())
+        with pytest.raises(ValueError, match="[Dd]ivision"):
+            x / a
+
+
+def _linprog_solve(prog, param_values):
+    """Independent LP solve of the stuffed program via scipy.linprog."""
+    A, b, q, q_off = eval_data(prog, param_values)
+    dims = prog.dims
+    assert dims.is_polyhedral(), "LP oracle only"
+    A_eq = A[: dims.zero]
+    b_eq = b[: dims.zero]
+    A_ub = A[dims.zero:]
+    b_ub = b[dims.zero:]
+    res = scipy.optimize.linprog(
+        q, A_ub=A_ub, b_ub=b_ub,
+        A_eq=A_eq if dims.zero else None,
+        b_eq=b_eq if dims.zero else None,
+        bounds=(None, None), method="highs",
+    )
+    assert res.status == 0, res.message
+    return res.x, res.fun + q_off
+
+
+class TestLPEndToEnd:
+    def test_lad_readme(self):
+        # min 0.5*||Ax - b||_1 s.t. x >= 0 (reference README.md:84-101)
+        n, m = 2, 3
+        x = ct.Variable(n)
+        A = ct.Parameter((m, n))
+        b = ct.Parameter(m)
+        prob = ct.Problem(
+            ct.Minimize(0.5 * ct.pnorm(A @ x - b, p=1)), [x >= 0]
+        )
+        assert prob.is_dpp()
+        prog = stuff(prob, [A, b])
+
+        Av = rng.standard_normal((m, n))
+        bv = rng.standard_normal(m)
+        xsol_full, obj = _linprog_solve(prog, [Av, bv])
+        xi = prog.var_info[id(x)]
+        xsol = xsol_full[xi.offset:xi.offset + n]
+
+        # direct LAD LP: variables (x, t): min 0.5 sum t
+        #   -t <= Av x - bv <= t, x >= 0
+        c = np.concatenate([np.zeros(n), 0.5 * np.ones(m)])
+        A_ub = np.block(
+            [[Av, -np.eye(m)], [-Av, -np.eye(m)], [-np.eye(n), np.zeros((n, m))]]
+        )
+        b_ub = np.concatenate([bv, -bv, np.zeros(n)])
+        ref = scipy.optimize.linprog(
+            c, A_ub=A_ub, b_ub=b_ub, bounds=(None, None), method="highs"
+        )
+        assert ref.status == 0
+        np.testing.assert_allclose(obj, ref.fun, atol=1e-8)
+        np.testing.assert_allclose(xsol, ref.x[:n], atol=1e-7)
+
+    def test_simplex_projection_lp(self):
+        # min c'x s.t. sum x == 1, x >= 0 (simplex LP,
+        # reference tests/test_moreau.py:1738-1745 pattern)
+        n = 5
+        x = ct.Variable(n)
+        c = ct.Parameter(n)
+        prob = ct.Problem(ct.Minimize(c @ x), [ct.sum(x) == 1, x >= 0])
+        prog = stuff(prob, [c])
+        cv = rng.standard_normal(n)
+        xsol_full, obj = _linprog_solve(prog, [cv])
+        xi = prog.var_info[id(x)]
+        xsol = xsol_full[xi.offset:xi.offset + n]
+        # analytic: all mass on argmin
+        want = np.zeros(n)
+        want[np.argmin(cv)] = 1.0
+        np.testing.assert_allclose(xsol, want, atol=1e-8)
+        np.testing.assert_allclose(obj, cv.min(), atol=1e-9)
+
+    def test_norm_inf_and_max(self):
+        # min ||x - p||_inf  => x = p, objective 0
+        n = 4
+        x = ct.Variable(n)
+        p = ct.Parameter(n)
+        prob = ct.Problem(ct.Minimize(ct.norm(x - p, "inf")))
+        prog = stuff(prob, [p])
+        pv = rng.standard_normal(n)
+        xsol_full, obj = _linprog_solve(prog, [pv])
+        xi = prog.var_info[id(x)]
+        np.testing.assert_allclose(
+            xsol_full[xi.offset:xi.offset + n], pv, atol=1e-7
+        )
+        np.testing.assert_allclose(obj, 0.0, atol=1e-9)
+
+    def test_maximize_and_offset(self):
+        # max (min_entries(x)) s.t. x <= p: objective = min(p)
+        n = 4
+        x = ct.Variable(n)
+        p = ct.Parameter(n)
+        prob = ct.Problem(ct.Maximize(ct.min(x) + 2.0), [x <= p])
+        prog = stuff(prob, [p])
+        pv = rng.standard_normal(n)
+        _, obj = _linprog_solve(prog, [pv])
+        # stuffed objective is the negated maximize objective
+        np.testing.assert_allclose(-obj, pv.min() + 2.0, atol=1e-9)
+
+    def test_dims_layout(self):
+        x = ct.Variable(2)
+        p = ct.Parameter(2)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(x - p)),
+            [x >= 0, ct.sum(x) == 1],
+        )
+        prog = stuff(prob, [p])
+        d = prog.dims
+        assert d.zero == 1          # sum(x) == 1
+        assert d.nonneg == 2        # x >= 0
+        assert d.soc == (4,)        # sum_squares epigraph: [1+t, 2(x-p), 1-t]
+        assert prog.m == 7
