@@ -1,0 +1,84 @@
+"""Implicit differentiation of the cone program solution map.
+
+custom_vjp around the (ADMM + Newton-polish) solve: the backward pass
+applies the implicit function theorem to the KKT residual map F(x, w) = 0
+(solver/kkt.py), solving one transposed linear system per cotangent and
+assembling gradients w.r.t. the dense problem data (P, q, A, b):
+
+    [u; v] = -J^{-T} [g_x ; (D-I)' g_y + D' g_s]
+    dq = u,  db = -v,  dP = u x',  dA = y u' + v x'
+
+This is the role of diffcp's C++ adjoint / diffqcp's DeviceQCP.vjp in the
+reference stack (cvxpylayers interfaces/diffcp_if.py:73-96,
+cuclarabel_if.py:340-403; papers arXiv 1904.09043 and 2508.17522), computed
+at the primal-dual solution directly rather than through the homogeneous
+self-dual embedding, and reusing the forward polish Jacobian.
+
+Everything downstream of the dense (P, q, A, b) — the scatter from
+parameter-affine value vectors, batching, variable recovery — is plain
+differentiable JAX, so this is the only custom rule in the framework.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cones.dims import ConeDims
+from ..cones.projections import make_cone_dproj
+from ..solver.kkt import make_kkt
+from ..solver.refine import make_polished_solver
+from ..solver.settings import SolverSettings
+
+
+def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
+    """Returns solve(P, q, A, b, x0, y0, s0) -> (x, y, s, status, iters)
+    with implicit-diff gradients w.r.t. (P, q, A, b)."""
+    m = dims.total
+    base = make_polished_solver(dims, n, settings)
+    _, jacobian, _ = make_kkt(dims, n)
+
+    def _forward(P, q, A, b, x0, y0, s0):
+        res = base(P, q, A, b, x0, y0, s0)
+        return res.x, res.y, res.s, res.status, res.iters
+
+    @jax.custom_vjp
+    def solve(P, q, A, b, x0, y0, s0):
+        return _forward(P, q, A, b, x0, y0, s0)
+
+    def solve_fwd(P, q, A, b, x0, y0, s0):
+        out = _forward(P, q, A, b, x0, y0, s0)
+        x, y, s = out[0], out[1], out[2]
+        return out, (x, y, s, P, q, A, b)
+
+    def solve_bwd(saved, cotangents):
+        x, y, s, P, q, A, b = saved
+        dx, dy, ds = cotangents[0], cotangents[1], cotangents[2]
+        # status/iters cotangents are symbolic zeros (int outputs)
+        w = s - y
+        J = jacobian(x, w, P, q, A, b)
+        dproj = make_cone_dproj(dims)
+        D = dproj(w)
+        I_m = jnp.eye(m, dtype=x.dtype)
+        g_x = dx
+        g_w = (D - I_m).T @ dy + D.T @ ds
+        rhs = jnp.concatenate([g_x, g_w])
+        uv = -jnp.linalg.solve(J.T, rhs)
+        uv = jnp.where(jnp.all(jnp.isfinite(uv)), uv, 0.0)
+        u = uv[:n]
+        v = uv[n:]
+        dq = u
+        db = -v
+        # dP is the VJP of the *literal* residual map F1 = P x + ... (no
+        # symmetrization: P-as-symmetric parametrizations chain through the
+        # caller's own construction of P from its storage)
+        dP = jnp.outer(u, x)
+        dA = jnp.outer(y, u) + jnp.outer(v, x)
+        zeros = (jnp.zeros_like(x), jnp.zeros_like(y), jnp.zeros_like(s))
+        return (dP, dq, dA, db) + zeros
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve

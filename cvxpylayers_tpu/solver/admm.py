@@ -1,0 +1,297 @@
+"""Batched conic-QP ADMM solver (dense, TPU-first).
+
+Solves   minimize    (1/2) x'Px + q'x
+         subject to  Ax + s = b,  s in K
+
+via OSQP-style operator splitting generalized to arbitrary cones: the
+constraint is Ax in C with C = {v : b - v in K} and Pi_C(u) = b - Pi_K(b-u).
+Replaces the role of SCS/Moreau's native batched solvers in the reference
+stack (cvxpylayers SURVEY sections 2.2/3.4) with a design chosen for TPU:
+
+  * all linear algebra is dense and batched — one (n, n) Cholesky
+    factorization per rho update feeds the MXU, and every per-iteration
+    operation is a matmul or a cone projection (VPU);
+  * the iteration runs under lax.while_loop over "epochs" (factor once,
+    run `epoch` inner steps, check residuals / adapt rho), so the whole
+    solve jits once and vmaps over instance batches — vmap's while_loop
+    batching rule provides per-instance convergence masking for free;
+  * statuses are returned as codes (with Banjac-et-al-style infeasibility
+    certificates from the iterate differences), never raised — required
+    for vmap (reference analogue: diffcp.SolverError raised eagerly,
+    tests/test_torch.py:299-316; the layer wraps codes into exceptions).
+
+The dual iterate satisfies y in N_C(z) exactly at every iteration (it is a
+scaled projection residual), hence y in K* and y's = 0 hold by construction
+and only primal/dual residuals drive termination.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cones.dims import ConeDims
+from ..cones.projections import make_cone_projector
+from .settings import (
+    DUAL_INFEASIBLE,
+    MAX_ITERS,
+    PRIMAL_INFEASIBLE,
+    SOLVED,
+    SolverSettings,
+)
+
+
+class SolveResult(NamedTuple):
+    x: jax.Array        # primal (n,)
+    y: jax.Array        # dual, in K* (m,)
+    s: jax.Array        # slack, in K (m,)
+    status: jax.Array   # int32 status code
+    iters: jax.Array    # int32 iteration count
+    pobj: jax.Array     # primal objective value (excluding constant offset)
+
+
+def _cone_row_groups(dims: ConeDims):
+    """Row-index -> cone-block id, for pooled (per-block uniform) scaling."""
+    import numpy as np
+
+    gid = np.zeros(dims.total, dtype=np.int64)
+    g = 0
+    off = 0
+    for _ in range(dims.zero):
+        gid[off] = g
+        off += 1
+        g += 1
+    for _ in range(dims.nonneg):
+        gid[off] = g
+        off += 1
+        g += 1
+    for d in dims.soc:
+        gid[off:off + d] = g
+        off += d
+        g += 1
+    for _ in range(dims.exp):
+        gid[off:off + 3] = g
+        off += 3
+        g += 1
+    for sdim in dims.psd:
+        d = sdim * (sdim + 1) // 2
+        gid[off:off + d] = g
+        off += d
+        g += 1
+    for _ in dims.pow3:
+        gid[off:off + 3] = g
+        off += 3
+        g += 1
+    return jnp.asarray(gid), g
+
+
+def _ruiz_equilibrate(P, A, q, b, group_ids, n_groups, iters: int):
+    """Modified Ruiz equilibration of [[P, A'], [A, 0]] with per-cone-block
+    pooling of the row scalings (so scaled slacks stay in K)."""
+    n = q.shape[0]
+    m = b.shape[0]
+    dtype = q.dtype
+
+    def body(_, state):
+        P_, A_, q_, b_, D, E, c = state
+        # column norms over the stacked [P; A] (x-side)
+        col = jnp.maximum(
+            jnp.max(jnp.abs(P_), axis=0) if n else jnp.zeros(0, dtype),
+            jnp.max(jnp.abs(A_), axis=0) if m else jnp.zeros(n, dtype),
+        )
+        dx = 1.0 / jnp.sqrt(jnp.where(col > 1e-12, col, 1.0))
+        # row norms of [A, 0] (y-side), pooled per cone block via max
+        row = jnp.max(jnp.abs(A_), axis=1) if n else jnp.zeros(m, dtype)
+        pooled = jax.ops.segment_max(row, group_ids, num_segments=n_groups)
+        row = pooled[group_ids] if m else row
+        de = 1.0 / jnp.sqrt(jnp.where(row > 1e-12, row, 1.0))
+        P_ = dx[:, None] * P_ * dx[None, :]
+        A_ = de[:, None] * A_ * dx[None, :]
+        q_ = dx * q_
+        b_ = de * b_
+        # cost scaling: normalize mean column norm of the scaled objective
+        pcol = jnp.max(jnp.abs(P_), axis=0) if n else jnp.zeros(0, dtype)
+        gamma_den = jnp.maximum(jnp.mean(pcol), jnp.max(jnp.abs(q_)))
+        gamma = 1.0 / jnp.where(gamma_den > 1e-12, gamma_den, 1.0)
+        P_ = P_ * gamma
+        q_ = q_ * gamma
+        return P_, A_, q_, b_, D * dx, E * de, c * gamma
+
+    state = (P, A, q, b, jnp.ones(n, dtype), jnp.ones(m, dtype),
+             jnp.asarray(1.0, dtype))
+    if iters > 0:
+        state = jax.lax.fori_loop(0, iters, body, state)
+    return state
+
+
+def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings):
+    """Build solve(P, q, A, b, x0, y0, s0) -> SolveResult for fixed
+    (dims, n) structure. Fully jit/vmap-compatible."""
+    m = dims.total
+    proj_K = make_cone_projector(dims)
+    group_ids, n_groups = _cone_row_groups(dims)
+    st = settings
+
+    is_eq_row = jnp.arange(m) < dims.zero
+
+    def proj_C(u, b):
+        return b - proj_K(b - u)
+
+    def factor(P, A, rho):
+        M = P + st.sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho) @ A
+        return jnp.linalg.cholesky(M)  # lower-triangular L
+
+    def chol_solve(L, rhs):
+        z_ = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(L, z_, lower=True, trans=1)
+
+    def solve(P, q, A, b, x0, y0, s0):
+        dtype = q.dtype
+        P0, A0, q0, b0 = P, A, q, b
+
+        Ps, As, qs, bs, D, E, c = _ruiz_equilibrate(
+            P, A, q, b, group_ids, n_groups, st.scaling_iters
+        )
+
+        # scaled warm start: x̄ = x/D, z̄ = E (b0 - s), ȳ = c y / E
+        x = x0 / D
+        z = E * (b0 - s0)
+        y = c * y0 / E
+
+        rho0 = jnp.where(
+            is_eq_row,
+            jnp.asarray(st.rho * st.rho_eq_scale, dtype),
+            jnp.asarray(st.rho, dtype),
+        )
+
+        def unscaled(xb, zb, yb):
+            xu = D * xb
+            s_u = (bs - zb) / E
+            y_u = (E * yb) / c
+            return xu, s_u, y_u
+
+        def residuals(xb, zb, yb):
+            xu, s_u, y_u = unscaled(xb, zb, yb)
+            Ax = A0 @ xu
+            r_p = jnp.max(jnp.abs(Ax + s_u - b0)) if m else jnp.asarray(0.0, dtype)
+            p_sc = jnp.maximum(
+                jnp.max(jnp.abs(Ax)) if m else 0.0,
+                jnp.maximum(
+                    jnp.max(jnp.abs(s_u)) if m else 0.0,
+                    jnp.max(jnp.abs(b0)) if m else 0.0,
+                ),
+            )
+            Px = P0 @ xu
+            Aty = A0.T @ y_u if m else jnp.zeros(n, dtype)
+            r_d = jnp.max(jnp.abs(Px + q0 + Aty))
+            d_sc = jnp.maximum(
+                jnp.max(jnp.abs(Px)),
+                jnp.maximum(jnp.max(jnp.abs(Aty)), jnp.max(jnp.abs(q0))),
+            )
+            return r_p, p_sc, r_d, d_sc
+
+        def inner(carry, _):
+            x_, z_, y_, chol, rho = carry
+            rhs = st.sigma * x_ - qs + As.T @ (rho * z_ - y_)
+            x_t = chol_solve(chol, rhs)
+            z_t = As @ x_t
+            x_new = st.alpha * x_t + (1 - st.alpha) * x_
+            w = st.alpha * z_t + (1 - st.alpha) * z_ + y_ / rho
+            z_new = proj_C(w, bs)
+            y_new = rho * (w - z_new)
+            return (x_new, z_new, y_new, chol, rho), None
+
+        def epoch_body(state):
+            x_, z_, y_, rho, it, status, _rp, _rd = state
+            chol = factor(Ps, As, rho)
+            x_prev, y_prev = x_, y_
+            (x_, z_, y_, _, _), _ = jax.lax.scan(
+                inner, (x_, z_, y_, chol, rho), None, length=st.epoch
+            )
+            it = it + st.epoch
+
+            r_p, p_sc, r_d, d_sc = residuals(x_, z_, y_)
+            eps_p = st.admm_eps_abs + st.admm_eps_rel * p_sc
+            eps_d = st.admm_eps_abs + st.admm_eps_rel * d_sc
+            converged = (r_p <= eps_p) & (r_d <= eps_d)
+
+            # ---- infeasibility certificates (unscaled deltas) -------------
+            dxu = D * (x_ - x_prev)
+            dyu = (E * (y_ - y_prev)) / c
+            ny = jnp.max(jnp.abs(dyu)) if m else jnp.asarray(0.0, dtype)
+            nx = jnp.max(jnp.abs(dxu))
+            safe_ny = jnp.where(ny > 0, ny, 1.0)
+            safe_nx = jnp.where(nx > 0, nx, 1.0)
+            # primal infeasible: A'dy ~ 0, dy in K*, b'dy < 0
+            Atdy = A0.T @ dyu if m else jnp.zeros(n, dtype)
+            proj_dual_dy = dyu + proj_K(-dyu)  # Pi_{K*}(dy) via Moreau
+            dual_dist = jnp.max(jnp.abs(proj_dual_dy - dyu)) if m else jnp.asarray(0.0, dtype)
+            pinf = (
+                (ny > 10 * st.eps_infeas)
+                & (jnp.max(jnp.abs(Atdy)) <= st.eps_infeas * safe_ny)
+                & (dual_dist <= st.eps_infeas * safe_ny)
+                & ((b0 @ dyu if m else jnp.asarray(0.0, dtype)) < -st.eps_infeas * safe_ny)
+            )
+            # dual infeasible: P dx ~ 0, q'dx < 0, A dx in rec(C) = -K
+            Adx = A0 @ dxu if m else jnp.zeros(0, dtype)
+            rec_dist = (
+                jnp.max(jnp.abs(-proj_K(-Adx) - Adx)) if m else jnp.asarray(0.0, dtype)
+            )
+            dinf = (
+                (nx > 10 * st.eps_infeas)
+                & (jnp.max(jnp.abs(P0 @ dxu)) <= st.eps_infeas * safe_nx)
+                & (rec_dist <= st.eps_infeas * safe_nx)
+                & ((q0 @ dxu) < -st.eps_infeas * safe_nx)
+            )
+
+            status = jnp.where(
+                converged,
+                SOLVED,
+                jnp.where(pinf, PRIMAL_INFEASIBLE,
+                          jnp.where(dinf, DUAL_INFEASIBLE, MAX_ITERS)),
+            ).astype(jnp.int32)
+
+            # ---- adaptive rho --------------------------------------------
+            if st.adaptive_rho:
+                ratio = jnp.sqrt(
+                    jnp.maximum(r_p / jnp.where(p_sc > 1e-12, p_sc, 1.0), 1e-10)
+                    / jnp.maximum(r_d / jnp.where(d_sc > 1e-12, d_sc, 1.0), 1e-10)
+                )
+                ratio = jnp.clip(
+                    ratio, 1.0 / st.adaptive_rho_clamp, st.adaptive_rho_clamp
+                )
+                update = (ratio > st.adaptive_rho_tol) | (
+                    ratio < 1.0 / st.adaptive_rho_tol
+                )
+                rho = jnp.where(
+                    update,
+                    jnp.clip(rho * ratio, st.rho_min, st.rho_max),
+                    rho,
+                )
+
+            return x_, z_, y_, rho, it, status, r_p, r_d
+
+        def cond(state):
+            _x, _z, _y, _rho, it, status, _rp, _rd = state
+            return (status == MAX_ITERS) & (it < st.max_iters)
+
+        init = (
+            x, z, y,
+            rho0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(MAX_ITERS, jnp.int32),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+        )
+        x_, z_, y_, rho, it, status, r_p, r_d = jax.lax.while_loop(
+            cond, lambda s_: epoch_body(s_), init
+        )
+
+        xu, s_u, y_u = unscaled(x_, z_, y_)
+        pobj = 0.5 * xu @ (P0 @ xu) + q0 @ xu
+        return SolveResult(
+            x=xu, y=y_u, s=s_u, status=status, iters=it, pobj=pobj
+        )
+
+    return solve

@@ -1,0 +1,48 @@
+"""Solver settings (static — part of the jit cache key)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverSettings:
+    """ADMM + refinement settings.
+
+    The accuracy contract is two-stage: ADMM converges linearly to
+    eps_abs/eps_rel (default 1e-6 — enough to identify the active cone
+    faces), then the semismooth-Newton polish (refine_steps) converges
+    superlinearly to near machine precision. This replaces tightening
+    eps/tol in the reference's native solvers (cvxpylayers
+    tests/test_torch.py:787) at a fraction of the iterations.
+    """
+
+    eps_abs: float = 1e-8        # final (post-polish) KKT tolerance
+    eps_rel: float = 1e-8
+    admm_eps_abs: float = 1e-5   # internal ADMM stopping tolerance: just
+    admm_eps_rel: float = 1e-5   # accurate enough for active-set identification
+    eps_infeas: float = 1e-9
+    max_iters: int = 4000
+    epoch: int = 25              # iterations between residual/rho checks
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3    # rho boost on zero-cone (equality) rows
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
+    adaptive_rho: bool = True
+    adaptive_rho_tol: float = 5.0  # update when ratio outside [1/tol, tol]
+    adaptive_rho_clamp: float = 10.0  # max per-update change factor
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    scaling_iters: int = 10      # Ruiz equilibration iterations (0 = off)
+    refine_steps: int = 10       # semismooth Newton polish iterations
+    def replace(self, **kw) -> "SolverSettings":
+        return dataclasses.replace(self, **kw)
+
+
+# Status codes (jit-friendly ints; the eager layer API maps them to
+# exceptions mirroring diffcp.SolverError semantics — reference
+# tests/test_torch.py:299-316).
+SOLVED = 0
+MAX_ITERS = 1
+PRIMAL_INFEASIBLE = 2
+DUAL_INFEASIBLE = 3

@@ -1,0 +1,295 @@
+"""ADMM solver + Newton polish + implicit-diff correctness.
+
+Oracles follow the reference's test strategy (SURVEY section 4): closed-form
+KKT solutions, scipy.linprog cross-checks, analytic projections, softmax for
+entropy problems, infeasibility status contracts, batched == loop-of-single,
+and finite-difference gradient checks of the custom_vjp.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+
+from cvxpylayers_tpu.cones import ConeDims
+from cvxpylayers_tpu.diff import make_diff_solver
+from cvxpylayers_tpu.solver import (
+    DUAL_INFEASIBLE,
+    PRIMAL_INFEASIBLE,
+    SOLVED,
+    SolverSettings,
+    make_admm_solver,
+    make_polished_solver,
+)
+
+rng = np.random.default_rng(3)
+ST = SolverSettings()
+
+
+def _solve(dims, n, P, q, A, b, settings=ST):
+    f = jax.jit(make_polished_solver(dims, n, settings))
+    return f(
+        jnp.asarray(P), jnp.asarray(q), jnp.asarray(A), jnp.asarray(b),
+        jnp.zeros(n), jnp.zeros(dims.total), jnp.zeros(dims.total),
+    )
+
+
+class TestEqualityQP:
+    def test_closed_form(self):
+        # min 1/2 x'Px + q'x s.t. Gx = h  -> KKT linear system
+        n, p = 6, 2
+        L = rng.standard_normal((n, n))
+        P = L @ L.T + np.eye(n)
+        q = rng.standard_normal(n)
+        G = rng.standard_normal((p, n))
+        h = rng.standard_normal(p)
+        dims = ConeDims(zero=p)
+        res = _solve(dims, n, P, q, G, h)
+        assert int(res.status) == SOLVED
+        KKT = np.block([[P, G.T], [G, np.zeros((p, p))]])
+        sol = np.linalg.solve(KKT, np.concatenate([-q, h]))
+        np.testing.assert_allclose(np.asarray(res.x), sol[:n], atol=1e-7)
+        # dual: our convention Px + q + G'y = 0
+        np.testing.assert_allclose(np.asarray(res.y), sol[n:], atol=1e-6)
+
+
+class TestBoxQP:
+    def test_projection_onto_box(self):
+        # min 1/2||x - v||^2 s.t. 0 <= x <= 1  (A = [[-I],[I]]; s = b - Ax)
+        n = 8
+        v = rng.standard_normal(n) * 2
+        P = np.eye(n)
+        q = -v
+        A = np.vstack([-np.eye(n), np.eye(n)])
+        b = np.concatenate([np.zeros(n), np.ones(n)])
+        dims = ConeDims(nonneg=2 * n)
+        res = _solve(dims, n, P, q, A, b)
+        assert int(res.status) == SOLVED
+        np.testing.assert_allclose(np.asarray(res.x), np.clip(v, 0, 1), atol=1e-7)
+
+
+class TestLP:
+    def test_vs_linprog(self):
+        n, m = 6, 10
+        A = rng.standard_normal((m, n))
+        x_feas = rng.standard_normal(n)
+        b = A @ x_feas + np.abs(rng.standard_normal(m)) + 0.1
+        q = rng.standard_normal(n)
+        # bounded: add box -10 <= x <= 10
+        A_full = np.vstack([A, np.eye(n), -np.eye(n)])
+        b_full = np.concatenate([b, 10 * np.ones(n), 10 * np.ones(n)])
+        dims = ConeDims(nonneg=m + 2 * n)
+        res = _solve(dims, n, np.zeros((n, n)), q, A_full, b_full)
+        assert int(res.status) == SOLVED
+        ref = scipy.optimize.linprog(
+            q, A_ub=A_full, b_ub=b_full, bounds=(None, None), method="highs"
+        )
+        np.testing.assert_allclose(float(res.pobj), ref.fun, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=1e-5)
+
+
+class TestSOCP:
+    def test_projection_onto_soc(self):
+        # min 1/2||x - v||^2 s.t. x in SOC  (s = x, b = 0, A = -I)
+        d = 5
+        v = rng.standard_normal(d) * 2
+        P = np.eye(d)
+        q = -v
+        A = -np.eye(d)
+        b = np.zeros(d)
+        dims = ConeDims(soc=(d,))
+        res = _solve(dims, d, P, q, A, b)
+        assert int(res.status) == SOLVED
+        from cvxpylayers_tpu.cones.projections import project_soc
+
+        want = np.asarray(project_soc(jnp.asarray(v)))
+        np.testing.assert_allclose(np.asarray(res.x), want, atol=1e-7)
+
+
+class TestExp:
+    def test_entropy_softmax(self):
+        # max sum entr(x) + c'x  s.t. sum x == 1, x >= 0  -> x = softmax(c-1)?
+        # min -sum entr(x) - c'x: optimal x_i = exp(c_i) / sum exp(c_j)
+        # KKT: log x_i + 1 - c_i + lam = 0 -> x_i = e^{c_i - 1 - lam}
+        n = 4
+        c = rng.standard_normal(n)
+        # variables: x (n), t (n) epigraph of -entr: t_i >= x_i log x_i
+        # formulate directly in cone form:
+        #   min sum t - c'x
+        #   s.t. sum x = 1  (zero cone)
+        #        (-t_i, x_i, 1) in Kexp  (t_i >= x_i log x_i = -entr)
+        # cone rows for exp: s = (u1,u2,u3) = (-t_i, x_i, 1)
+        nv = 2 * n  # x then t
+        q = np.concatenate([-c, np.ones(n)])
+        rows = []
+        bvec = []
+        # zero row: sum x = 1: s = 1 - sum x = 0 -> A row = [1...1, 0...0]
+        A = np.zeros((1 + 3 * n, nv))
+        b = np.zeros(1 + 3 * n)
+        A[0, :n] = 1.0
+        b[0] = 1.0
+        for i in range(n):
+            r = 1 + 3 * i
+            # s_r = -t_i  => A[r, n+i] = 1, b = 0
+            A[r, n + i] = 1.0
+            # s_{r+1} = x_i => A[r+1, i] = -1
+            A[r + 1, i] = -1.0
+            # s_{r+2} = 1
+            b[r + 2] = 1.0
+        del rows, bvec
+        dims = ConeDims(zero=1, exp=n)
+        res = _solve(dims, nv, np.zeros((nv, nv)), q, A, b)
+        assert int(res.status) == SOLVED
+        x = np.asarray(res.x[:n])
+        want = np.exp(c) / np.sum(np.exp(c))
+        np.testing.assert_allclose(x, want, atol=1e-6)
+
+
+class TestStatuses:
+    def test_primal_infeasible(self):
+        # x >= 1 and x <= 0: infeasible
+        A = np.array([[-1.0], [1.0]])
+        b = np.array([-1.0, 0.0])
+        dims = ConeDims(nonneg=2)
+        res = _solve(dims, 1, np.zeros((1, 1)), np.zeros(1), A, b)
+        assert int(res.status) == PRIMAL_INFEASIBLE
+
+    def test_dual_infeasible(self):
+        # min -x s.t. x >= 0: unbounded below
+        A = np.array([[-1.0]])
+        b = np.array([0.0])
+        dims = ConeDims(nonneg=1)
+        res = _solve(dims, 1, np.zeros((1, 1)), np.array([-1.0]), A, b)
+        assert int(res.status) == DUAL_INFEASIBLE
+
+
+class TestBatching:
+    def test_vmap_matches_loop(self):
+        n, m = 4, 6
+        dims = ConeDims(nonneg=m)
+        solver = make_polished_solver(dims, n, ST)
+        B = 5
+        P = np.stack([np.eye(n)] * B)
+        qs = rng.standard_normal((B, n))
+        A = rng.standard_normal((m, n))
+        x_f = rng.standard_normal(n)
+        bs = np.stack([A @ x_f + np.abs(rng.standard_normal(m)) + 0.5
+                       for _ in range(B)])
+        As = np.stack([A] * B)
+        batched = jax.jit(jax.vmap(solver))(
+            jnp.asarray(P), jnp.asarray(qs), jnp.asarray(As), jnp.asarray(bs),
+            jnp.zeros((B, n)), jnp.zeros((B, m)), jnp.zeros((B, m)),
+        )
+        single = jax.jit(solver)
+        for i in range(B):
+            ri = single(
+                jnp.asarray(P[i]), jnp.asarray(qs[i]), jnp.asarray(As[i]),
+                jnp.asarray(bs[i]), jnp.zeros(n), jnp.zeros(m), jnp.zeros(m),
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched.x[i]), np.asarray(ri.x), atol=1e-6
+            )
+
+
+class TestDiff:
+    def _fd_check(self, dims, n, P, q, A, b, out_fn, atol=2e-4, eps=1e-6):
+        solver = make_diff_solver(dims, n, ST)
+        m = dims.total
+
+        def loss(P_, q_, A_, b_):
+            x, y, s, status, iters = solver(
+                P_, q_, A_, b_, jnp.zeros(n), jnp.zeros(m), jnp.zeros(m)
+            )
+            return out_fn(x, y, s)
+
+        g = jax.grad(loss, argnums=(0, 1, 2, 3))(
+            jnp.asarray(P), jnp.asarray(q), jnp.asarray(A), jnp.asarray(b)
+        )
+        loss_j = jax.jit(loss)
+
+        def num(f, arr, darr):
+            return (
+                float(loss_j(*darr(arr + eps * f)))
+                - float(loss_j(*darr(arr - eps * f)))
+            ) / (2 * eps)
+
+        # probe a few random directions per argument
+        args = [np.asarray(P), np.asarray(q), np.asarray(A), np.asarray(b)]
+        for k in range(4):
+            direction = [rng.standard_normal(a.shape) for a in args]
+            # zero all but k
+            direction = [
+                d if i == k else np.zeros_like(d)
+                for i, d in enumerate(direction)
+            ]
+            analytic = sum(
+                float(np.sum(np.asarray(gi) * di))
+                for gi, di in zip(g, direction)
+            )
+            f_p = [jnp.asarray(a + eps * d) for a, d in zip(args, direction)]
+            f_m = [jnp.asarray(a - eps * d) for a, d in zip(args, direction)]
+            numeric = (float(loss_j(*f_p)) - float(loss_j(*f_m))) / (2 * eps)
+            assert abs(analytic - numeric) <= atol * (1 + abs(numeric)), (
+                k, analytic, numeric
+            )
+
+    def test_grad_box_qp(self):
+        n = 5
+        v = rng.standard_normal(n)
+        P = np.eye(n)
+        q = -v
+        A = np.vstack([-np.eye(n), np.eye(n)])
+        b = np.concatenate([np.zeros(n), np.ones(n)])
+        dims = ConeDims(nonneg=2 * n)
+        self._fd_check(dims, n, P, q, A, b, lambda x, y, s: jnp.sum(x**2))
+
+    def test_grad_eq_qp_with_duals(self):
+        n, p = 5, 2
+        L = rng.standard_normal((n, n))
+        P = L @ L.T + np.eye(n)
+        q = rng.standard_normal(n)
+        G = rng.standard_normal((p, n))
+        h = rng.standard_normal(p)
+        dims = ConeDims(zero=p)
+        self._fd_check(
+            dims, n, P, q, G, h, lambda x, y, s: jnp.sum(x) + jnp.sum(y**2)
+        )
+
+    def test_grad_socp(self):
+        d = 4
+        v = rng.standard_normal(d) + np.array([2.0, 0, 0, 0])
+        P = np.eye(d)
+        q = -v
+        A = -np.eye(d)
+        b = np.zeros(d)
+        dims = ConeDims(soc=(d,))
+        self._fd_check(dims, d, P, q, A, b, lambda x, y, s: jnp.sum(x**3))
+
+    def test_envelope_theorem_lp(self):
+        # d(q'x*)/dq = x* for LP with unique solution (reference
+        # tests/test_moreau.py:1813-1821 pattern)
+        n, m = 4, 8
+        A = rng.standard_normal((m, n))
+        x_f = rng.standard_normal(n)
+        b = A @ x_f + np.abs(rng.standard_normal(m)) + 0.3
+        A_full = np.vstack([A, np.eye(n), -np.eye(n)])
+        b_full = np.concatenate([b, 5 * np.ones(n), 5 * np.ones(n)])
+        q = rng.standard_normal(n)
+        dims = ConeDims(nonneg=m + 2 * n)
+        solver = make_diff_solver(dims, n, ST)
+        mm = dims.total
+
+        def obj(q_):
+            x, *_ = solver(
+                jnp.zeros((n, n)), q_, jnp.asarray(A_full), jnp.asarray(b_full),
+                jnp.zeros(n), jnp.zeros(mm), jnp.zeros(mm),
+            )
+            return q_ @ x
+
+        g = jax.grad(obj)(jnp.asarray(q))
+        x_star, *_ = solver(
+            jnp.zeros((n, n)), jnp.asarray(q), jnp.asarray(A_full),
+            jnp.asarray(b_full), jnp.zeros(n), jnp.zeros(mm), jnp.zeros(mm),
+        )
+        np.testing.assert_allclose(np.asarray(g), np.asarray(x_star), atol=1e-5)
