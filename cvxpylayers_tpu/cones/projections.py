@@ -381,7 +381,8 @@ def make_cone_projector(dims: ConeDims) -> Callable[[jax.Array], jax.Array]:
     """
     soc_runs = _group_runs(dims.soc)
     psd_runs = _group_runs(dims.psd)
-    pow_alphas = jnp.array(dims.pow3) if dims.pow3 else None
+    import numpy as _np
+    pow_alphas = _np.array(dims.pow3) if dims.pow3 else None
 
     def project(v: jax.Array) -> jax.Array:
         parts = []

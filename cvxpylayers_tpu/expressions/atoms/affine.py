@@ -250,7 +250,8 @@ def multiply(a, b) -> Expression:
 class MatMul(_ProductMixin, Atom):
     @staticmethod
     def create(a: Expression, b: Expression) -> Expression:
-        if a.is_scalar() or b.is_scalar():
+        # 0-d operands are not matrices; size-1 vectors/matrices are fine
+        if a.ndim == 0 or b.ndim == 0:
             raise ValueError("use * for scalar multiplication, @ for matmul")
         return MatMul(a, b)
 

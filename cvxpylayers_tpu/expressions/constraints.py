@@ -23,10 +23,27 @@ from .expression import Curvature, Expression, as_expression
 _constraint_counter = itertools.count()
 
 
+class DualVariable:
+    """Handle for a constraint's dual variable — pass it in a CvxpyLayer's
+    `variables` list to have the dual returned (reference API:
+    constraint.dual_variables[0], cvxpylayers tests/test_dual_variables.py:28)."""
+
+    def __init__(self, constraint: "Constraint"):
+        self.constraint = constraint
+
+    def __repr__(self):
+        return f"DualVariable(of={self.constraint!r})"
+
+
 class Constraint:
     def __init__(self, args):
         self.args = tuple(args)
         self.id = next(_constraint_counter)
+        self._dual_variable = DualVariable(self)
+
+    @property
+    def dual_variables(self):
+        return [self._dual_variable]
 
     def variables(self):
         seen = {}

@@ -1,0 +1,333 @@
+"""CvxpyLayer: the user-facing differentiable optimization layer.
+
+API mirrors the reference's frontends (cvxpylayers torch/cvxpylayer.py:312-
+382, jax/cvxpylayer.py:275-344):
+
+    layer = CvxpyLayer(problem, parameters=[A, b], variables=[x])
+    (x_star,) = layer(A_val, b_val)            # jnp arrays, grads flow
+    x_star, eq_dual = layer(...)               # duals via c.dual_variables[0]
+
+but is natively jit/vmap/grad-composable end to end (the property only the
+Moreau-JAX path has in the reference, jax/cvxpylayer.py:239-246): the whole
+forward is XLA — parameter-affine data evaluation (one matmul), dense
+scatter, vmapped ADMM+Newton solve with a custom_vjp, and slice/unpack
+recovery. No host callbacks anywhere.
+
+Batching semantics (reference contract, torch/cvxpylayer.py:84-141 and
+docs/guide/batching.md): each parameter may be passed with its exact shape
+(unbatched) or with one leading batch dimension; batched parameters must
+agree on the batch size; unbatched ones broadcast; outputs carry the batch
+dimension iff any input was batched (batch size 1 is preserved, not
+squeezed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..canon.stuffer import ConeProgram, stuff
+from ..cones.projections import svec_to_sym
+from ..diff.derivative import make_diff_solver
+from ..expressions.constraints import Constraint, DualVariable
+from ..expressions.leaf import Parameter, Variable
+from ..expressions.problem import Problem
+from ..solver.settings import (
+    DUAL_INFEASIBLE,
+    MAX_ITERS,
+    PRIMAL_INFEASIBLE,
+    SOLVED,
+    SolverSettings,
+)
+
+
+class SolverError(RuntimeError):
+    """Raised (eagerly) when a solve fails — the analogue of
+    diffcp.SolverError in the reference (tests/test_torch.py:299-316).
+    Under jit/vmap, statuses are data: use solve_with_info()."""
+
+
+_SOLVER_ARG_KEYS = {
+    "eps": ("eps_abs", "eps_rel"),
+    "eps_abs": ("eps_abs",),
+    "eps_rel": ("eps_rel",),
+    "admm_eps_abs": ("admm_eps_abs",),
+    "admm_eps_rel": ("admm_eps_rel",),
+    "max_iters": ("max_iters",),
+    "rho": ("rho",),
+    "sigma": ("sigma",),
+    "alpha": ("alpha",),
+    "refine_steps": ("refine_steps",),
+    "scaling_iters": ("scaling_iters",),
+    "adaptive_rho": ("adaptive_rho",),
+}
+
+
+def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
+    if not solver_args:
+        return base
+    kw = {}
+    for k, v in solver_args.items():
+        if k == "solve_method":
+            continue
+        if k not in _SOLVER_ARG_KEYS:
+            raise ValueError(f"unknown solver_args key: {k!r}")
+        for field in _SOLVER_ARG_KEYS[k]:
+            kw[field] = type(getattr(base, field))(v)
+    return base.replace(**kw)
+
+
+class CvxpyLayer:
+    def __init__(
+        self,
+        problem: Problem,
+        parameters: Sequence[Parameter],
+        variables: Sequence,
+        solver=None,
+        gp: bool = False,
+        verbose: bool = False,
+        solver_args: Optional[dict] = None,
+        canon_backend=None,
+    ):
+        del solver, canon_backend  # single native backend; kept for API parity
+        if gp:
+            raise NotImplementedError(
+                "gp=True (log-log / geometric programs) lands with the DGP "
+                "pipeline"
+            )
+        if not isinstance(problem, Problem):
+            raise ValueError("problem must be a cvxpylayers_tpu Problem")
+        if not problem.is_dcp():
+            raise ValueError("Problem must be DCP (disciplined convex).")
+        if not problem.is_dpp():
+            raise ValueError(
+                "Problem must be DPP (disciplined parametrized programming); "
+                "parameters may only enter affinely."
+            )
+        prob_params = {id(p) for p in problem.parameters()}
+        given = {id(p) for p in parameters}
+        if prob_params != given:
+            raise ValueError(
+                "The layer's parameters must be exactly the problem's "
+                "parameters."
+            )
+        prob_vars = {id(v) for v in problem.variables()}
+        prob_cons = {c.id for c in problem.constraints}
+        self._outputs = []
+        for v in variables:
+            if isinstance(v, Variable):
+                if id(v) not in prob_vars:
+                    raise ValueError(f"{v} is not a variable of the problem")
+                self._outputs.append(("var", v))
+            elif isinstance(v, DualVariable):
+                if v.constraint.id not in prob_cons:
+                    raise ValueError(
+                        "dual variable does not belong to a problem constraint"
+                    )
+                self._outputs.append(("dual", v.constraint))
+            else:
+                raise ValueError(
+                    f"variables must be Variables or DualVariables, got {v!r}"
+                )
+        if not self._outputs:
+            raise ValueError("variables must be a non-empty list")
+
+        self.parameters = list(parameters)
+        self.verbose = bool(verbose)
+        self.prog: ConeProgram = stuff(problem, self.parameters)
+        self._base_settings = _settings_from_args(
+            SolverSettings(), solver_args
+        )
+
+        p = self.prog
+        # static structure as device constants
+        self._A_rows = jnp.asarray(p.A_rows)
+        self._A_cols = jnp.asarray(p.A_cols)
+        self._b_rows = jnp.asarray(p.b_rows)
+        # dense parameter-affine maps (nnz x (n_param+1)); small by
+        # construction for layer-sized problems, and a single MXU matmul
+        # evaluates the whole batch
+        self._red_A = jnp.asarray(p.reduced_A.toarray())
+        self._red_b = jnp.asarray(p.reduced_b.toarray())
+        self._red_q = jnp.asarray(p.reduced_q.toarray())
+        self._solvers: Dict[SolverSettings, object] = {}
+        self._warm: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+
+    # ------------------------------------------------------------------ misc
+
+    @property
+    def n_outputs(self) -> int:
+        return len(self._outputs)
+
+    def _solver(self, settings: SolverSettings):
+        if settings not in self._solvers:
+            self._solvers[settings] = make_diff_solver(
+                self.prog.dims, self.prog.n, settings
+            )
+        return self._solvers[settings]
+
+    # ------------------------------------------------------------- batching
+
+    def _parse_batch(self, params) -> Tuple[Optional[int], List[bool]]:
+        if len(params) != len(self.parameters):
+            raise ValueError(
+                f"expected {len(self.parameters)} parameters, got {len(params)}"
+            )
+        batch: Optional[int] = None
+        batched_flags = []
+        for arr, p in zip(params, self.parameters):
+            shape = tuple(arr.shape)
+            if shape == p.shape:
+                batched_flags.append(False)
+            elif len(shape) == len(p.shape) + 1 and shape[1:] == p.shape:
+                batched_flags.append(True)
+                if batch is None:
+                    batch = shape[0]
+                elif batch != shape[0]:
+                    raise ValueError(
+                        f"inconsistent batch sizes: {batch} vs {shape[0]} "
+                        f"for parameter {p.name}"
+                    )
+            else:
+                raise ValueError(
+                    f"parameter {p.name} expects shape {p.shape} "
+                    f"(or batched (B, *{p.shape})), got {shape}"
+                )
+        return batch, batched_flags
+
+    def _stack_params(self, params, batch, batched_flags) -> jax.Array:
+        """Build p_ext of shape (B, n_param + 1) (B=1 when unbatched)."""
+        B = batch or 1
+        cols = []
+        for arr, p, is_b in zip(params, self.parameters, batched_flags):
+            arr = jnp.asarray(arr)
+            flat = (
+                arr.reshape(B, p.size)
+                if is_b
+                else jnp.broadcast_to(arr.reshape(p.size), (B, p.size))
+            )
+            cols.append(flat)
+        cols.append(jnp.ones((B, 1), dtype=cols[0].dtype if cols else jnp.float64))
+        return jnp.concatenate(cols, axis=1) if cols else jnp.ones((B, 1))
+
+    # -------------------------------------------------------------- forward
+
+    def _assemble(self, p_ext_row: jax.Array):
+        """p_ext (n_param+1,) -> dense (P, q, A, b)."""
+        prog = self.prog
+        dtype = p_ext_row.dtype
+        A_data = self._red_A.astype(dtype) @ p_ext_row
+        b_data = self._red_b.astype(dtype) @ p_ext_row
+        q_full = self._red_q.astype(dtype) @ p_ext_row
+        A = jnp.zeros((prog.m, prog.n), dtype).at[
+            self._A_rows, self._A_cols
+        ].set(A_data)
+        b = jnp.zeros(prog.m, dtype).at[self._b_rows].set(b_data)
+        q = q_full[:-1]
+        P = jnp.zeros((prog.n, prog.n), dtype)
+        return P, q, A, b, q_full[-1]
+
+    def _recover(self, x, y, batchless_shape=False):
+        outs = []
+        prog = self.prog
+        for kind, obj in self._outputs:
+            if kind == "var":
+                vi = prog.var_info[id(obj)]
+                if vi.symmetric:
+                    s = vi.shape[0]
+                    d = s * (s + 1) // 2
+                    outs.append(svec_to_sym(x[vi.offset:vi.offset + d], s))
+                else:
+                    sl = x[vi.offset:vi.offset + int(np.prod(vi.shape or (1,)))]
+                    outs.append(sl.reshape(vi.shape))
+            else:
+                di = prog.dual_info[obj.id]
+                sl = y[di.offset:di.offset + di.length]
+                if di.kind in ("zero", "nonneg") and di.shape is not None:
+                    outs.append(sl.reshape(di.shape))
+                elif di.kind == "psd":
+                    outs.append(svec_to_sym(sl, di.meta))
+                else:
+                    outs.append(sl)
+        return tuple(outs)
+
+    def __call__(self, *params, solver_args: Optional[dict] = None,
+                 warm_start: bool = False):
+        sol = self._solve(params, solver_args, warm_start, want_info=False)
+        return sol
+
+    def solve_with_info(self, *params, solver_args: Optional[dict] = None,
+                        warm_start: bool = False):
+        """Like __call__ but also returns (status, iters) arrays — the
+        jit-safe way to observe failures."""
+        return self._solve(params, solver_args, warm_start, want_info=True)
+
+    def _solve(self, params, solver_args, warm_start, want_info):
+        settings = _settings_from_args(self._base_settings, solver_args)
+        solver = self._solver(settings)
+        prog = self.prog
+        batch, batched_flags = self._parse_batch(params)
+        p_ext = self._stack_params(params, batch, batched_flags)
+        B = p_ext.shape[0]
+        n, m = prog.n, prog.m
+        dtype = p_ext.dtype
+
+        x0 = jnp.zeros((B, n), dtype)
+        y0 = jnp.zeros((B, m), dtype)
+        s0 = jnp.zeros((B, m), dtype)
+        if warm_start and self._warm is not None:
+            wx, wy, ws = self._warm
+            if wx.shape == (B, n):
+                x0 = jnp.asarray(wx, dtype)
+                y0 = jnp.asarray(wy, dtype)
+                s0 = jnp.asarray(ws, dtype)
+
+        def solve_one(p_row, x0_, y0_, s0_):
+            P, q, A, b, _ = self._assemble(p_row)
+            return solver(P, q, A, b, x0_, y0_, s0_)
+
+        x, y, s, status, iters = jax.vmap(solve_one)(p_ext, x0, y0, s0)
+
+        if warm_start:
+            try:
+                self._warm = (
+                    np.asarray(jax.lax.stop_gradient(x)),
+                    np.asarray(jax.lax.stop_gradient(y)),
+                    np.asarray(jax.lax.stop_gradient(s)),
+                )
+            except jax.errors.TracerArrayConversionError:
+                pass  # under jit: skip the cache (reference jax layer
+                # behaviour, cvxpylayers jax/cvxpylayer.py:551-567)
+
+        self._maybe_raise(status)
+
+        outs_b = jax.vmap(self._recover)(x, y)
+        if batch is None:
+            outs = tuple(o[0] for o in outs_b)
+        else:
+            outs = outs_b
+        if want_info:
+            st = status if batch is not None else status[0]
+            it = iters if batch is not None else iters[0]
+            return outs, st, it
+        return outs
+
+    def _maybe_raise(self, status):
+        """Eagerly raise SolverError on failure; silently skip under trace."""
+        try:
+            st = np.asarray(jax.lax.stop_gradient(status))
+        except jax.errors.TracerArrayConversionError:
+            return
+        if np.any(st == PRIMAL_INFEASIBLE):
+            raise SolverError("Problem is primal infeasible.")
+        if np.any(st == DUAL_INFEASIBLE):
+            raise SolverError("Problem is unbounded (dual infeasible).")
+        if np.any(st == MAX_ITERS):
+            raise SolverError(
+                "Solver did not reach the requested accuracy "
+                "(max_iters). Try increasing max_iters or loosening eps."
+            )

@@ -85,7 +85,10 @@ def _cone_row_groups(dims: ConeDims):
         gid[off:off + 3] = g
         off += 3
         g += 1
-    return jnp.asarray(gid), g
+    # numpy, not jnp: this array is captured in the solver closure,
+    # which may be built during a jit trace (lazy construction) — a
+    # jnp constant created there leaks as a tracer into later traces
+    return gid, g
 
 
 def _ruiz_equilibrate(P, A, q, b, group_ids, n_groups, iters: int):
@@ -135,7 +138,8 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings):
     group_ids, n_groups = _cone_row_groups(dims)
     st = settings
 
-    is_eq_row = jnp.arange(m) < dims.zero
+    import numpy as _np
+    is_eq_row = _np.arange(m) < dims.zero
 
     def proj_C(u, b):
         return b - proj_K(b - u)

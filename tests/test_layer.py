@@ -1,0 +1,401 @@
+"""CvxpyLayer end-to-end tests, modeled on the reference's corpus
+(cvxpylayers tests/test_torch.py, tests/test_jax.py, SURVEY section 4):
+closed-form oracles, scipy cross-checks, gradcheck, batching contracts,
+dual variables, jit/vmap/grad composition, and error paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+from jax.test_util import check_grads
+
+import cvxpylayers_tpu as ct
+from cvxpylayers_tpu import CvxpyLayer, SolverError
+
+rng = np.random.default_rng(7)
+
+
+def lad_layer(n=2, m=3):
+    x = ct.Variable(n)
+    A = ct.Parameter((m, n))
+    b = ct.Parameter(m)
+    prob = ct.Problem(ct.Minimize(0.5 * ct.pnorm(A @ x - b, p=1)), [x >= 0])
+    return CvxpyLayer(prob, parameters=[A, b], variables=[x]), (n, m)
+
+
+class TestForward:
+    def test_lad_vs_linprog(self):
+        layer, (n, m) = lad_layer()
+        Av = rng.standard_normal((m, n))
+        bv = rng.standard_normal(m)
+        (xs,) = layer(jnp.asarray(Av), jnp.asarray(bv))
+        c = np.concatenate([np.zeros(n), 0.5 * np.ones(m)])
+        A_ub = np.block(
+            [[Av, -np.eye(m)], [-Av, -np.eye(m)],
+             [-np.eye(n), np.zeros((n, m))]]
+        )
+        b_ub = np.concatenate([bv, -bv, np.zeros(n)])
+        ref = scipy.optimize.linprog(
+            c, A_ub=A_ub, b_ub=b_ub, bounds=(None, None), method="highs"
+        )
+        np.testing.assert_allclose(np.asarray(xs), ref.x[:n], atol=1e-6)
+
+    def test_least_squares_closed_form(self):
+        # min ||Ax - b||^2 + ||x||^2 -> x* = (A'A + I)^{-1} A'b
+        n, m = 4, 7
+        x = ct.Variable(n)
+        A = ct.Parameter((m, n))
+        b = ct.Parameter(m)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(A @ x - b) + ct.sum_squares(x))
+        )
+        layer = CvxpyLayer(prob, parameters=[A, b], variables=[x])
+        Av = rng.standard_normal((m, n))
+        bv = rng.standard_normal(m)
+        (xs,) = layer(jnp.asarray(Av), jnp.asarray(bv))
+        want = np.linalg.solve(Av.T @ Av + np.eye(n), Av.T @ bv)
+        np.testing.assert_allclose(np.asarray(xs), want, atol=1e-7)
+
+    def test_simplex_projection_qp(self):
+        # min ||x - v||^2 s.t. sum x == 1, x >= 0
+        n = 6
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(x - v)), [ct.sum(x) == 1, x >= 0]
+        )
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        vv = rng.standard_normal(n)
+        (xs,) = layer(jnp.asarray(vv))
+        # oracle: sort-based simplex projection
+        u = np.sort(vv)[::-1]
+        css = np.cumsum(u) - 1
+        ks = np.arange(1, n + 1)
+        rho = np.max(ks[u - css / ks > 0])
+        tau = css[rho - 1] / rho
+        np.testing.assert_allclose(np.asarray(xs), np.maximum(vv - tau, 0),
+                                   atol=1e-7)
+
+
+class TestGradients:
+    def test_lad_check_grads(self):
+        layer, (n, m) = lad_layer()
+        Av = jnp.asarray(rng.standard_normal((m, n)))
+        bv = jnp.asarray(rng.standard_normal(m))
+
+        def f(A_, b_):
+            (xs,) = layer(A_, b_)
+            return jnp.sum(xs)
+
+        check_grads(f, (Av, bv), order=1, modes=["rev"], atol=1e-3, rtol=1e-3)
+
+    def test_least_squares_grads_vs_analytic(self):
+        n, m = 3, 5
+        x = ct.Variable(n)
+        A = ct.Parameter((m, n))
+        b = ct.Parameter(m)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(A @ x - b) + ct.sum_squares(x))
+        )
+        layer = CvxpyLayer(prob, parameters=[A, b], variables=[x])
+        Av = jnp.asarray(rng.standard_normal((m, n)))
+        bv = jnp.asarray(rng.standard_normal(m))
+
+        def f(A_, b_):
+            (xs,) = layer(A_, b_)
+            return jnp.sum(xs**2)
+
+        def f_exact(A_, b_):
+            xs = jnp.linalg.solve(
+                A_.T @ A_ + jnp.eye(n), A_.T @ b_
+            )
+            return jnp.sum(xs**2)
+
+        gA, gb = jax.grad(f, argnums=(0, 1))(Av, bv)
+        gA2, gb2 = jax.grad(f_exact, argnums=(0, 1))(Av, bv)
+        np.testing.assert_allclose(np.asarray(gA), np.asarray(gA2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gb2), atol=1e-6)
+
+    def test_entropy_layer_grads(self):
+        # max c'x + sum entr(x) s.t. sum x == 1, x >= 0  => x = softmax(c)
+        n = 5
+        x = ct.Variable(n)
+        c = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Maximize(c @ x + ct.sum(ct.entr(x))),
+            [ct.sum(x) == 1, x >= 0],
+        )
+        layer = CvxpyLayer(prob, parameters=[c], variables=[x])
+        cv = jnp.asarray(rng.standard_normal(n))
+        (xs,) = layer(cv)
+        np.testing.assert_allclose(
+            np.asarray(xs), np.asarray(jax.nn.softmax(cv)), atol=1e-6
+        )
+        J = jax.jacobian(lambda c_: layer(c_)[0])(cv)
+        p = np.asarray(jax.nn.softmax(cv))
+        J_want = np.diag(p) - np.outer(p, p)
+        np.testing.assert_allclose(np.asarray(J), J_want, atol=1e-5)
+
+
+class TestBatching:
+    def test_batched_matches_loop(self):
+        layer, (n, m) = lad_layer()
+        B = 4
+        Av = rng.standard_normal((B, m, n))
+        bv = rng.standard_normal((B, m))
+        xs_b = layer(jnp.asarray(Av), jnp.asarray(bv))[0]
+        assert xs_b.shape == (B, n)
+        for i in range(B):
+            (xi,) = layer(jnp.asarray(Av[i]), jnp.asarray(bv[i]))
+            np.testing.assert_allclose(np.asarray(xs_b[i]), np.asarray(xi),
+                                       atol=1e-7)
+
+    def test_mixed_broadcasting(self):
+        layer, (n, m) = lad_layer()
+        B = 3
+        Av = rng.standard_normal((m, n))          # unbatched
+        bv = rng.standard_normal((B, m))          # batched
+        xs = layer(jnp.asarray(Av), jnp.asarray(bv))[0]
+        assert xs.shape == (B, n)
+        for i in range(B):
+            (xi,) = layer(jnp.asarray(Av), jnp.asarray(bv[i]))
+            np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(xi),
+                                       atol=1e-7)
+
+    def test_batch_size_one_preserved(self):
+        layer, (n, m) = lad_layer()
+        Av = rng.standard_normal((1, m, n))
+        bv = rng.standard_normal((1, m))
+        xs = layer(jnp.asarray(Av), jnp.asarray(bv))[0]
+        assert xs.shape == (1, n)
+        xs2 = layer(jnp.asarray(Av[0]), jnp.asarray(bv[0]))[0]
+        assert xs2.shape == (n,)
+
+    def test_inconsistent_batch_raises(self):
+        layer, (n, m) = lad_layer()
+        with pytest.raises(ValueError, match="batch"):
+            layer(
+                jnp.zeros((2, m, n)), jnp.zeros((3, m))
+            )
+
+
+class TestDuals:
+    def test_equality_dual_kkt(self):
+        # min ||x - v||^2 s.t. sum x == 1; KKT: 2(x - v) + lam * 1 = 0
+        n = 4
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        con = ct.sum(x) == 1
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - v)), [con])
+        layer = CvxpyLayer(
+            prob, parameters=[v], variables=[x, con.dual_variables[0]]
+        )
+        vv = rng.standard_normal(n)
+        xs, lam = layer(jnp.asarray(vv))
+        x_np = np.asarray(xs)
+        lam_np = float(np.asarray(lam))
+        # stationarity wrt x of ||x-v||^2 + lam*(sum x - 1)
+        np.testing.assert_allclose(2 * (x_np - vv) + lam_np, 0, atol=1e-6)
+        np.testing.assert_allclose(x_np.sum(), 1.0, atol=1e-8)
+
+    def test_inequality_dual_lp(self):
+        # LP duals vs scipy.linprog marginals
+        n, m = 4, 7
+        x = ct.Variable(n)
+        c = ct.Parameter(n)
+        G = rng.standard_normal((m, n))
+        x_f = rng.standard_normal(n)
+        h = G @ x_f + np.abs(rng.standard_normal(m)) + 0.3
+        con = ct.Constant(G) @ x <= ct.Constant(h)
+        box = ct.norm(x, "inf") <= 5.0
+        del box
+        box_lo = x >= -5.0
+        box_hi = x <= 5.0
+        prob = ct.Problem(ct.Minimize(c @ x), [con, box_lo, box_hi])
+        layer = CvxpyLayer(
+            prob, parameters=[c], variables=[x, con.dual_variables[0]]
+        )
+        cv = rng.standard_normal(n)
+        xs, duals = layer(jnp.asarray(cv))
+        ref = scipy.optimize.linprog(
+            cv,
+            A_ub=np.vstack([G, -np.eye(n), np.eye(n)]),
+            b_ub=np.concatenate([h, 5 * np.ones(n), 5 * np.ones(n)]),
+            bounds=(None, None), method="highs",
+        )
+        np.testing.assert_allclose(np.asarray(xs), ref.x, atol=1e-6)
+        # scipy highs returns marginals with opposite sign convention
+        np.testing.assert_allclose(
+            np.asarray(duals), -ref.ineqlin.marginals[:m], atol=1e-6
+        )
+
+    def test_dual_only_and_batched(self):
+        n = 3
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        con = ct.sum(x) == 1
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - v)), [con])
+        layer = CvxpyLayer(
+            prob, parameters=[v], variables=[con.dual_variables[0]]
+        )
+        B = 3
+        vv = rng.standard_normal((B, n))
+        (lams,) = layer(jnp.asarray(vv))
+        assert lams.shape == (B,) + ()
+        # analytic: x = v - lam/2 * 1; sum x = 1 -> lam = 2(sum v - 1)/n
+        want = 2 * (vv.sum(axis=1) - 1) / n
+        np.testing.assert_allclose(np.asarray(lams), want, atol=1e-6)
+
+    def test_dual_gradients(self):
+        n = 3
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        con = ct.sum(x) == 1
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - v)), [con])
+        layer = CvxpyLayer(
+            prob, parameters=[v], variables=[con.dual_variables[0]]
+        )
+
+        def f(v_):
+            (lam,) = layer(v_)
+            return lam**2
+
+        vv = jnp.asarray(rng.standard_normal(n))
+        g = jax.grad(f)(vv)
+        want = jax.grad(lambda v_: (2 * (jnp.sum(v_) - 1) / n) ** 2)(vv)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(want), atol=1e-6)
+
+
+class TestCompilation:
+    def test_jit(self):
+        layer, (n, m) = lad_layer()
+        Av = jnp.asarray(rng.standard_normal((m, n)))
+        bv = jnp.asarray(rng.standard_normal(m))
+
+        @jax.jit
+        def f(A_, b_):
+            return layer(A_, b_)[0]
+
+        np.testing.assert_allclose(
+            np.asarray(f(Av, bv)), np.asarray(layer(Av, bv)[0]), atol=1e-9
+        )
+
+    def test_external_vmap(self):
+        layer, (n, m) = lad_layer()
+        B = 3
+        Av = jnp.asarray(rng.standard_normal((B, m, n)))
+        bv = jnp.asarray(rng.standard_normal((B, m)))
+        f = jax.vmap(lambda A_, b_: layer(A_, b_)[0])
+        got = f(Av, bv)
+        want = layer(Av, bv)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-7)
+
+    def test_jit_grad_vmap_composition(self):
+        layer, (n, m) = lad_layer()
+        B = 2
+        Av = jnp.asarray(rng.standard_normal((B, m, n)))
+        bv = jnp.asarray(rng.standard_normal((B, m)))
+
+        @jax.jit
+        def loss(A_, b_):
+            xs = jax.vmap(lambda a, c: layer(a, c)[0])(A_, b_)
+            return jnp.sum(xs)
+
+        g = jax.grad(loss)(Av, bv)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestErrors:
+    def test_wrong_count(self):
+        layer, (n, m) = lad_layer()
+        with pytest.raises(ValueError, match="expected 2 parameters"):
+            layer(jnp.zeros((m, n)))
+
+    def test_wrong_shape(self):
+        layer, (n, m) = lad_layer()
+        with pytest.raises(ValueError, match="expects shape"):
+            layer(jnp.zeros((m, n + 1)), jnp.zeros(m))
+
+    def test_infeasible_raises(self):
+        x = ct.Variable(1)
+        p = ct.Parameter(1)
+        prob = ct.Problem(ct.Minimize(ct.sum(x)), [x >= 1, x <= p - 2])
+        layer = CvxpyLayer(prob, parameters=[p], variables=[x])
+        with pytest.raises(SolverError, match="infeasible"):
+            layer(jnp.asarray([0.0]))
+
+    def test_unbounded_raises(self):
+        x = ct.Variable(1)
+        p = ct.Parameter(1)
+        prob = ct.Problem(ct.Minimize(p @ x), [x <= 0])
+        layer = CvxpyLayer(prob, parameters=[p], variables=[x])
+        with pytest.raises(SolverError, match="unbounded"):
+            layer(jnp.asarray([1.0]))
+
+    def test_non_dpp_rejected(self):
+        x = ct.Variable(2)
+        a = ct.Parameter(2)
+        bscale = ct.Parameter(())
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(x - (bscale * a))), []
+        )
+        with pytest.raises(ValueError, match="DPP"):
+            CvxpyLayer(prob, parameters=[a, bscale], variables=[x])
+
+    def test_wrong_params_set(self):
+        x = ct.Variable(2)
+        a = ct.Parameter(2)
+        other = ct.Parameter(2)
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - a)))
+        with pytest.raises(ValueError, match="parameters"):
+            CvxpyLayer(prob, parameters=[a, other], variables=[x])
+
+    def test_unknown_solver_arg(self):
+        layer, _ = lad_layer()
+        with pytest.raises(ValueError, match="solver_args"):
+            layer(jnp.zeros((3, 2)), jnp.zeros(3),
+                  solver_args={"bogus_option": 1})
+
+    def test_solver_args_change_behavior(self):
+        layer, (n, m) = lad_layer()
+        Av = jnp.asarray(rng.standard_normal((m, n)))
+        bv = jnp.asarray(rng.standard_normal(m))
+        # absurdly low iteration budget with no polish -> must fail
+        with pytest.raises(SolverError):
+            layer(Av, bv, solver_args={"max_iters": 25, "refine_steps": 0,
+                                       "eps": 1e-9})
+
+
+class TestSOCPLayer:
+    def test_markowitz_style(self):
+        # min -mu'w + gamma*||Sigma^{1/2} w||  s.t. sum w == 1, w >= 0
+        n = 5
+        w = ct.Variable(n)
+        mu = ct.Parameter(n)
+        F = rng.standard_normal((n, n)) / np.sqrt(n)
+        prob = ct.Problem(
+            ct.Minimize(-mu @ w + 2.0 * ct.norm(ct.Constant(F) @ w, 2)),
+            [ct.sum(w) == 1, w >= 0],
+        )
+        layer = CvxpyLayer(prob, parameters=[mu], variables=[w])
+        muv = jnp.asarray(rng.standard_normal(n))
+        (ws,) = layer(muv)
+        w_np = np.asarray(ws)
+        assert abs(w_np.sum() - 1) < 1e-7
+        assert np.all(w_np >= -1e-8)
+        # oracle via scipy SLSQP
+        res = scipy.optimize.minimize(
+            lambda w_: float(-np.asarray(muv) @ w_
+                             + 2.0 * np.linalg.norm(F @ w_)),
+            np.ones(n) / n,
+            constraints=[
+                {"type": "eq", "fun": lambda w_: w_.sum() - 1},
+                {"type": "ineq", "fun": lambda w_: w_},
+            ],
+            method="SLSQP", options={"maxiter": 500, "ftol": 1e-12},
+        )
+        np.testing.assert_allclose(w_np, res.x, atol=1e-5)
+
+        g = jax.grad(lambda m_: jnp.sum(layer(m_)[0] ** 2))(muv)
+        assert np.all(np.isfinite(np.asarray(g)))
