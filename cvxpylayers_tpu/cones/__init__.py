@@ -1,4 +1,5 @@
 from .dims import ConeDims
+from .jacobians import make_cone_dproj_dense
 from .projections import (
     make_cone_dproj,
     make_cone_projector,
@@ -16,6 +17,7 @@ from .projections import (
 
 __all__ = [
     "ConeDims",
+    "make_cone_dproj_dense",
     "make_cone_dproj",
     "make_cone_projector",
     "make_dual_cone_projector",

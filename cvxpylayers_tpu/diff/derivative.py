@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cones.dims import ConeDims
-from ..cones.projections import make_cone_dproj
+from ..cones.jacobians import make_cone_dproj_dense
 from ..solver.kkt import make_kkt
 from ..solver.refine import make_polished_solver
 from ..solver.settings import SolverSettings
@@ -60,7 +60,7 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
         # status/iters cotangents are symbolic zeros (int outputs)
         w = s - y
         J = jacobian(x, w, P, q, A, b)
-        dproj = make_cone_dproj(dims)
+        dproj = make_cone_dproj_dense(dims)
         D = dproj(w)
         I_m = jnp.eye(m, dtype=x.dtype)
         g_x = dx

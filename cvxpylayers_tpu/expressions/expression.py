@@ -202,16 +202,25 @@ class Expression:
     def __truediv__(self, other):
         other = as_expression(other)
         if other.has_var() or other.has_param():
-            raise ValueError(
-                "Division is only supported by a numeric constant under DPP "
-                "(dividing by a parameter is not parameter-affine)."
-            )
+            # not DCP/DPP, but valid under DGP (monomial division): build the
+            # marker atom; DCP validation rejects it outside gp=True
+            from .atoms.gp import DivExpression
+
+            return DivExpression(self, other)
         from .atoms.affine import multiply_dispatch
         from .leaf import Constant
 
         return multiply_dispatch(Constant(1.0 / other.value), self)
 
+    def __rtruediv__(self, other):
+        return as_expression(other) / self
+
     def __pow__(self, p):
+        if isinstance(p, Expression):
+            # parameter exponent: valid only under DGP (y**c -> c*log y)
+            from .atoms.gp import PowerParam
+
+            return PowerParam(self, p)
         from .atoms.nonlinear import power
 
         return power(self, p)

@@ -94,20 +94,8 @@ class CvxpyLayer:
         canon_backend=None,
     ):
         del solver, canon_backend  # single native backend; kept for API parity
-        if gp:
-            raise NotImplementedError(
-                "gp=True (log-log / geometric programs) lands with the DGP "
-                "pipeline"
-            )
         if not isinstance(problem, Problem):
             raise ValueError("problem must be a cvxpylayers_tpu Problem")
-        if not problem.is_dcp():
-            raise ValueError("Problem must be DCP (disciplined convex).")
-        if not problem.is_dpp():
-            raise ValueError(
-                "Problem must be DPP (disciplined parametrized programming); "
-                "parameters may only enter affinely."
-            )
         prob_params = {id(p) for p in problem.parameters()}
         given = {id(p) for p in parameters}
         if prob_params != given:
@@ -115,20 +103,73 @@ class CvxpyLayer:
                 "The layer's parameters must be exactly the problem's "
                 "parameters."
             )
+
+        self.gp = bool(gp)
+        self._gp_log_mask: List[bool] = []
+        self._gp_var_map = None
+        if self.gp:
+            from ..canon.dgp import Dgp2Dcp, DgpError
+
+            transformer = Dgp2Dcp()
+            try:
+                log_problem = transformer.transform_problem(problem)
+            except DgpError as e:
+                raise ValueError(f"Problem is not DGP: {e}") from e
+            if not log_problem.is_dcp():
+                raise ValueError(
+                    "Problem is not DGP (log-log transform is not DCP)."
+                )
+            # remap parameters in user order; untouched params (never used
+            # multiplicatively or as exponent) default to logged
+            new_params = []
+            for p_ in parameters:
+                if id(p_) not in transformer.param_map:
+                    raise ValueError(
+                        f"parameter {p_.name} does not appear in the problem"
+                    )
+                np_, logged = transformer.param_map[id(p_)]
+                new_params.append(np_)
+                self._gp_log_mask.append(logged)
+            self._gp_var_map = transformer.var_map
+            self._gp_con_map = transformer  # (constraints rebuilt below)
+            # rebuild constraint-id map: transform_constraint created new
+            # constraint objects in order
+            self._gp_constraint_ids = {
+                oc.id: nc.id
+                for oc, nc in zip(problem.constraints, log_problem.constraints)
+            }
+            problem = log_problem
+            parameters = new_params
+
+        if not problem.is_dcp():
+            raise ValueError("Problem must be DCP (disciplined convex).")
+        if not problem.is_dpp():
+            raise ValueError(
+                "Problem must be DPP (disciplined parametrized programming); "
+                "parameters may only enter affinely."
+            )
         prob_vars = {id(v) for v in problem.variables()}
-        prob_cons = {c.id for c in problem.constraints}
+        prob_cons = {c.id: c for c in problem.constraints}
         self._outputs = []
         for v in variables:
             if isinstance(v, Variable):
+                if self.gp:
+                    if id(v) not in self._gp_var_map:
+                        raise ValueError(f"{v} is not a variable of the problem")
+                    self._outputs.append(("gpvar", self._gp_var_map[id(v)]))
+                    continue
                 if id(v) not in prob_vars:
                     raise ValueError(f"{v} is not a variable of the problem")
                 self._outputs.append(("var", v))
             elif isinstance(v, DualVariable):
-                if v.constraint.id not in prob_cons:
+                cid = v.constraint.id
+                if self.gp:
+                    cid = self._gp_constraint_ids.get(cid, cid)
+                if cid not in prob_cons:
                     raise ValueError(
                         "dual variable does not belong to a problem constraint"
                     )
-                self._outputs.append(("dual", v.constraint))
+                self._outputs.append(("dual", prob_cons[cid]))
             else:
                 raise ValueError(
                     f"variables must be Variables or DualVariables, got {v!r}"
@@ -203,8 +244,13 @@ class CvxpyLayer:
         """Build p_ext of shape (B, n_param + 1) (B=1 when unbatched)."""
         B = batch or 1
         cols = []
-        for arr, p, is_b in zip(params, self.parameters, batched_flags):
+        log_mask = self._gp_log_mask or [False] * len(self.parameters)
+        for arr, p, is_b, lg in zip(
+            params, self.parameters, batched_flags, log_mask
+        ):
             arr = jnp.asarray(arr)
+            if lg:
+                arr = jnp.log(arr)
             flat = (
                 arr.reshape(B, p.size)
                 if is_b
@@ -235,7 +281,11 @@ class CvxpyLayer:
         outs = []
         prog = self.prog
         for kind, obj in self._outputs:
-            if kind == "var":
+            if kind == "gpvar":
+                vi = prog.var_info[id(obj)]
+                sl = x[vi.offset:vi.offset + int(np.prod(vi.shape or (1,)))]
+                outs.append(jnp.exp(sl.reshape(vi.shape)))
+            elif kind == "var":
                 vi = prog.var_info[id(obj)]
                 if vi.symmetric:
                     s = vi.shape[0]

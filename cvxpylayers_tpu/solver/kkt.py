@@ -20,13 +20,14 @@ import jax
 import jax.numpy as jnp
 
 from ..cones.dims import ConeDims
-from ..cones.projections import make_cone_dproj, make_cone_projector
+from ..cones.jacobians import make_cone_dproj_dense
+from ..cones.projections import make_cone_projector
 
 
 def make_kkt(dims: ConeDims, n: int):
     m = dims.total
     proj = make_cone_projector(dims)
-    dproj = make_cone_dproj(dims)
+    dproj = make_cone_dproj_dense(dims)
 
     def residual(x, w, P, q, A, b):
         Pi = proj(w)

@@ -289,3 +289,19 @@ class TestProductCone:
             np.testing.assert_allclose(
                 P[i], np.asarray(proj.make_cone_projector(dims)(V[i])), atol=1e-12
             )
+
+
+class TestClosedFormJacobians:
+    def test_matches_jacfwd(self):
+        from cvxpylayers_tpu.cones.jacobians import make_cone_dproj_dense
+
+        dims = cone_dims.ConeDims(
+            zero=2, nonneg=3, soc=(3, 4), exp=2, psd=(3,), pow3=(0.4,)
+        )
+        f_closed = jax.jit(make_cone_dproj_dense(dims))
+        f_ad = jax.jit(proj.make_cone_dproj(dims))
+        for _ in range(5):
+            v = jnp.asarray(rng.standard_normal(dims.total) * 1.5)
+            np.testing.assert_allclose(
+                np.asarray(f_closed(v)), np.asarray(f_ad(v)), atol=1e-8
+            )
