@@ -59,6 +59,11 @@ class ConeProgram:
     b_rows: np.ndarray
     reduced_b: sp.csr_matrix      # (nb, n_param + 1)
     reduced_q: sp.csr_matrix      # (n + 1, n_param + 1)
+    # quadratic objective (1/2)x'Px: fixed sparsity + param-affine values
+    P_rows: np.ndarray
+    P_cols: np.ndarray
+    reduced_P: sp.csr_matrix      # (nnz_P, n_param + 1)
+    objective_offset_exact: bool
     var_info: Dict[int, VarInfo]  # id(var) -> VarInfo
     dual_info: Dict[int, DualInfo]  # constraint.id -> DualInfo
     maximize: bool
@@ -78,10 +83,20 @@ def stuff(problem: Problem, params: List[Parameter]) -> ConeProgram:
     for v in problem.variables():
         canon.register_variable(v)
 
-    obj_rep = canon.rep_of(problem.objective.expr)
+    from .quad import QuadAccumulator, try_extract
+
     maximize = isinstance(problem.objective, Maximize)
-    if maximize:
-        obj_rep = obj_rep.neg()
+    acc = QuadAccumulator()
+    if try_extract(canon, problem.objective.expr, acc,
+                   cval=(-1.0 if maximize else 1.0)):
+        obj_rep = TensorRep.empty(1)
+        for r in acc.q_extra:
+            obj_rep = obj_rep + r
+    else:
+        acc = QuadAccumulator()  # discard partial state
+        obj_rep = canon.rep_of(problem.objective.expr)
+        if maximize:
+            obj_rep = obj_rep.neg()
 
     for c in problem.constraints:
         canon.canon_constraint(c)
@@ -190,6 +205,29 @@ def stuff(problem: Problem, params: List[Parameter]) -> ConeProgram:
         (obj_rep.vals, (q_row, o_p)), shape=(n + 1, n_param + 1)
     )
 
+    # ---- P: quadratic objective pattern -----------------------------------
+    qi, qj, qp, qv = acc.concat()
+    if qi.size:
+        # symmetrize the pattern (store both (i,j) and (j,i) halves so the
+        # assembled dense P is symmetric: each entry contributes val/2 to
+        # both positions)
+        pi2 = np.concatenate([qi, qj])
+        pj2 = np.concatenate([qj, qi])
+        pp2 = np.concatenate([qp, qp])
+        pv2 = np.concatenate([qv, qv]) * 0.5
+        pattern = np.stack([pi2, pj2], axis=1)
+        uniqP, slotP = np.unique(pattern, axis=0, return_inverse=True)
+        P_rows = uniqP[:, 0].astype(np.int64)
+        P_cols = uniqP[:, 1].astype(np.int64)
+        p_idx = np.where(pp2 == CONST, n_param, pp2)
+        reduced_P = sp.csr_matrix(
+            (pv2, (slotP, p_idx)), shape=(uniqP.shape[0], n_param + 1)
+        )
+    else:
+        P_rows = np.zeros(0, dtype=np.int64)
+        P_cols = np.zeros(0, dtype=np.int64)
+        reduced_P = sp.csr_matrix((0, n_param + 1))
+
     var_info = {
         vid: VarInfo(offset=off, shape=var.shape, symmetric=var.symmetric)
         for vid, (off, var) in canon.var_offsets.items()
@@ -208,6 +246,10 @@ def stuff(problem: Problem, params: List[Parameter]) -> ConeProgram:
         b_rows=b_rows,
         reduced_b=reduced_b,
         reduced_q=reduced_q,
+        P_rows=P_rows,
+        P_cols=P_cols,
+        reduced_P=reduced_P,
+        objective_offset_exact=acc.offset_exact,
         var_info=var_info,
         dual_info=dual_info,
         maximize=maximize,
@@ -238,4 +280,9 @@ def eval_data(prog: ConeProgram, param_values: List[np.ndarray]):
     A[prog.A_rows, prog.A_cols] = A_data
     b = np.zeros(prog.m)
     b[prog.b_rows] = b_data
-    return A, b, q_full[:-1], q_full[-1]
+    P = np.zeros((prog.n, prog.n))
+    if prog.P_rows.size:
+        P_data = prog.reduced_P @ p_ext
+        np.add.at(P, (prog.P_rows, prog.P_cols), P_data)
+        P = 0.5 * (P + P.T)
+    return A, b, q_full[:-1], q_full[-1], P

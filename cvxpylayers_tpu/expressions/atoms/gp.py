@@ -29,6 +29,12 @@ class DivExpression(Atom):
     def sign(self):
         return Sign.mul(self.args[0].sign(), self.args[1].sign())
 
+    def canon(self, ctx, arg_reps):
+        raise ValueError(
+            "division by a variable or parameter expression is not DCP/DPP; "
+            "it is only valid in log-log (gp=True) problems"
+        )
+
     @property
     def value(self):
         va, vb = self.args[0].value, self.args[1].value
@@ -56,6 +62,12 @@ class PowerParam(Atom):
 
     def sign(self):
         return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        raise ValueError(
+            "x ** Parameter is not DCP; it is only valid in log-log "
+            "(gp=True) problems"
+        )
 
     @property
     def value(self):

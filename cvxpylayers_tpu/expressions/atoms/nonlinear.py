@@ -662,22 +662,59 @@ def quad_over_lin(x, y) -> Expression:
     return QuadOverLin(as_expression(x), as_expression(y))
 
 
-def quad_form(x, P) -> Expression:
-    """x' P x for constant PSD (or NSD) P.
+class QuadFormParam(Atom):
+    """x' P x with P a PSD *Parameter* — DPP-legal because P enters linearly
+    (the reference enables this via the _quad_form_dpp monkey-patch scoped
+    to QP-capable solvers, cvxpylayers _quad_form_dpp.py:29-32). Only valid
+    in the objective; the stuffer routes it to the native P matrix."""
 
-    Parameter-valued P requires the QP objective path (reference
-    _quad_form_dpp.py); supported separately via the P-matrix pipeline.
-    """
+    def __init__(self, x, P):
+        super().__init__(x, P)
+
+    def shape_from_args(self):
+        x, P = self.args
+        if x.ndim != 1 or P.shape != (x.shape[0], x.shape[0]):
+            raise ValueError("quad_form needs x (n,) and P (n, n)")
+        return ()
+
+    def validate(self):
+        x, P = self.args
+        if x.has_param():
+            raise ValueError(
+                "quad_form with parameter P requires a parameter-free x "
+                "(DPP rule; reference _quad_form_dpp.py:142-155)"
+            )
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        raise NotImplementedError(
+            "quad_form(x, Parameter) is only supported in the objective "
+            "(the stuffer extracts it into the native quadratic term)"
+        )
+
+
+def quad_form(x, P) -> Expression:
+    """x' P x for constant PSD/NSD P, or a PSD Parameter P (QP path)."""
+    from ..leaf import Parameter as _Parameter
+
     x = as_expression(x)
+    if isinstance(P, _Parameter):
+        if not getattr(P, "PSD", False):
+            raise ValueError(
+                "quad_form with a Parameter requires Parameter(..., PSD=True)"
+            )
+        return QuadFormParam(x, P)
     P = as_expression(P)
     if P.has_var():
         raise ValueError("quad_form requires a constant or parameter P")
-    if P.has_param():
-        raise NotImplementedError(
-            "parametric quad_form is handled by the QP objective path; "
-            "construct the problem with sum_squares or wait for the "
-            "quad-objective pipeline"
-        )
     Pv = np.asarray(P.value, dtype=np.float64)
     Pv = 0.5 * (Pv + Pv.T)
     w, V = np.linalg.eigh(Pv)

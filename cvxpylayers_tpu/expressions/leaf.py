@@ -91,8 +91,11 @@ class Parameter(Leaf):
     """
 
     def __init__(self, shape=(), name=None, *, nonneg=False, nonpos=False,
-                 pos=False, neg=False, value=None):
+                 pos=False, neg=False, PSD=False, value=None):
         super().__init__(shape, name)
+        if PSD and (len(self.shape) != 2 or self.shape[0] != self.shape[1]):
+            raise ValueError("PSD parameters must be square matrices")
+        self.PSD = bool(PSD)
         self.pos = bool(pos)
         self.neg = bool(neg)
         self.nonneg = bool(nonneg or pos)

@@ -195,6 +195,9 @@ class CvxpyLayer:
         self._red_A = jnp.asarray(p.reduced_A.toarray())
         self._red_b = jnp.asarray(p.reduced_b.toarray())
         self._red_q = jnp.asarray(p.reduced_q.toarray())
+        self._P_rows = jnp.asarray(p.P_rows)
+        self._P_cols = jnp.asarray(p.P_cols)
+        self._red_P = jnp.asarray(p.reduced_P.toarray())
         self._solvers: Dict[SolverSettings, object] = {}
         self._warm: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
 
@@ -275,6 +278,10 @@ class CvxpyLayer:
         b = jnp.zeros(prog.m, dtype).at[self._b_rows].set(b_data)
         q = q_full[:-1]
         P = jnp.zeros((prog.n, prog.n), dtype)
+        if prog.P_rows.size:
+            P_data = self._red_P.astype(dtype) @ p_ext_row
+            P = P.at[self._P_rows, self._P_cols].add(P_data)
+            P = 0.5 * (P + P.T)
         return P, q, A, b, q_full[-1]
 
     def _recover(self, x, y, batchless_shape=False):

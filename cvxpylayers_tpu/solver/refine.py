@@ -24,8 +24,13 @@ def make_refiner(dims: ConeDims, n: int, steps: int):
     residual, jacobian, split = make_kkt(dims, n)
 
     def refine(x, y, s, P, q, A, b):
-        if steps <= 0 or m == 0:
+        if steps <= 0:
             return x, y, s
+        if m == 0:
+            # unconstrained QP: one exact Newton step, P x = -q
+            sol = jnp.linalg.solve(P, -q)
+            ok = jnp.all(jnp.isfinite(sol))
+            return jnp.where(ok, sol, x), y, s
         w = s - y
 
         def step(carry, _):

@@ -157,16 +157,21 @@ class TestDPPViolations:
             prob = ct.Problem(ct.Minimize(ct.multiply(x, y)))
             stuff(prob, [])
 
-    def test_param_divide(self):
+    def test_param_divide_rejected_outside_gp(self):
         x = ct.Variable(3)
         a = ct.Parameter(())
-        with pytest.raises(ValueError, match="[Dd]ivision"):
-            x / a
+        expr = x / a  # legal to build (GP-only construct) ...
+        prob = ct.Problem(ct.Minimize(ct.sum(expr)), [x >= 1])
+        assert not prob.is_dcp()  # ... but never DCP
+        from cvxpylayers_tpu import CvxpyLayer
+        with pytest.raises(ValueError, match="DCP"):
+            CvxpyLayer(prob, parameters=[a], variables=[x])
 
 
 def _linprog_solve(prog, param_values):
     """Independent LP solve of the stuffed program via scipy.linprog."""
-    A, b, q, q_off = eval_data(prog, param_values)
+    A, b, q, q_off, P = eval_data(prog, param_values)
+    assert P.shape == (prog.n, prog.n)
     dims = prog.dims
     assert dims.is_polyhedral(), "LP oracle only"
     A_eq = A[: dims.zero]
@@ -272,5 +277,7 @@ class TestLPEndToEnd:
         d = prog.dims
         assert d.zero == 1          # sum(x) == 1
         assert d.nonneg == 2        # x >= 0
-        assert d.soc == (4,)        # sum_squares epigraph: [1+t, 2(x-p), 1-t]
-        assert prog.m == 7
+        # sum_squares is extracted into the native quadratic objective
+        assert d.soc == ()
+        assert prog.m == 3
+        assert prog.P_rows.size > 0
