@@ -139,43 +139,27 @@ def try_extract(canon, expr, acc: QuadAccumulator,
             return False  # parameter-dependent variable coefficients
         if cparam != CONST and np.any(cp != CONST):
             return False  # would create param x param terms
+        from ..native import join_pairs
+
         # P += 2 cval V'V: join V entries on their row index
-        order = np.argsort(vr, kind="stable")
-        vr_s, vc_s, vv_s = vr[order], vc[order], vv[order]
-        starts = np.searchsorted(vr_s, vr, side="left")
-        ends = np.searchsorted(vr_s, vr, side="right")
-        counts = ends - starts
-        left = np.repeat(np.arange(vr.size), counts)
-        right = (
-            np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)])
-            if vr.size else np.zeros(0, dtype=np.int64)
-        ).astype(np.int64)
+        left, right = join_pairs(vr, vr)
         acc.add_entries(
-            vc[left], vc_s[right],
+            vc[left], vc[right],
             np.full(left.size, cparam, dtype=np.int64),
-            2.0 * cval * vv[left] * vv_s[right],
+            2.0 * cval * vv[left] * vv[right],
         )
         # q += 2 cval V'c0 (join on row)
         if cr.size and vr.size:
-            orderc = np.argsort(cr, kind="stable")
-            cr_s, cp_s, cv_s = cr[orderc], cp[orderc], cvals[orderc]
-            st = np.searchsorted(cr_s, vr, side="left")
-            en = np.searchsorted(cr_s, vr, side="right")
-            cnt = en - st
-            lv = np.repeat(np.arange(vr.size), cnt)
-            rc = (
-                np.concatenate([np.arange(s, e) for s, e in zip(st, en)])
-                if vr.size else np.zeros(0, dtype=np.int64)
-            ).astype(np.int64)
+            lv, rc = join_pairs(vr, cr)
             param_out = np.where(
-                cparam != CONST, cparam, cp_s[rc]
+                cparam != CONST, cparam, cp[rc]
             ).astype(np.int64)
             acc.q_extra.append(TensorRep(
                 1,
                 np.zeros(lv.size, dtype=np.int64),
                 vc[lv],
                 param_out,
-                2.0 * cval * vv[lv] * cv_s[rc],
+                2.0 * cval * vv[lv] * cvals[rc],
             ))
         # offset cval * c0'c0
         if cr.size:

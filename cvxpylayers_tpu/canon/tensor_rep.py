@@ -161,19 +161,11 @@ class TensorRep:
             )
         if self.nnz == 0 or other.nnz == 0:
             return TensorRep.empty(n_out)
-        # sort other by key, then for each self entry take the matching run
-        order = np.argsort(other_keys, kind="stable")
-        ok = other_keys[order]
-        starts = np.searchsorted(ok, self_keys, side="left")
-        ends = np.searchsorted(ok, self_keys, side="right")
-        counts = ends - starts
-        sidx = np.repeat(np.arange(self.nnz), counts)
-        # positions within other (flattened runs)
-        oidx_local = np.concatenate(
-            [np.arange(s, e) for s, e in zip(starts, ends)]
-        ) if self.nnz else np.zeros(0, dtype=np.int64)
-        oidx = order[oidx_local.astype(np.int64)] if oidx_local.size else \
-            np.zeros(0, dtype=np.int64)
+        # sparse inner join on the contraction key (native C++ kernel with
+        # vectorized numpy fallback)
+        from ..native import join_pairs
+
+        sidx, oidx = join_pairs(self_keys, other_keys)
 
         p1 = self.param_cols[sidx]
         p2 = other.param_cols[oidx]
