@@ -1,0 +1,52 @@
+"""Docs-as-tests: the README snippet and the examples/ scripts must run
+verbatim (reference pattern: tests/test_readme_examples.py)."""
+
+import runpy
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_readme_snippet():
+    import cvxpylayers_tpu as ct
+
+    n, m = 2, 3
+    x = ct.Variable(n)
+    A = ct.Parameter((m, n))
+    b = ct.Parameter(m)
+    problem = ct.Problem(
+        ct.Minimize(0.5 * ct.pnorm(A @ x - b, p=1)), [x >= 0]
+    )
+    assert problem.is_dpp()
+
+    layer = ct.CvxpyLayer(problem, parameters=[A, b], variables=[x])
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A_jax = jax.random.normal(kA, (m, n))
+    b_jax = jax.random.normal(kb, (m,))
+    (solution,) = layer(A_jax, b_jax)
+    dA, db = jax.grad(
+        lambda A_, b_: layer(A_, b_)[0].sum(), argnums=(0, 1)
+    )(A_jax, b_jax)
+    assert solution.shape == (n,)
+    assert np.all(np.isfinite(np.asarray(dA)))
+    assert np.all(np.isfinite(np.asarray(db)))
+
+
+def test_example_lad_regression(capsys):
+    runpy.run_path(str(REPO / "examples" / "lad_regression.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "final argmin" in out
+
+
+def test_example_sparsemax_classifier(capsys):
+    runpy.run_path(str(REPO / "examples" / "sparsemax_classifier.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "train accuracy" in out
