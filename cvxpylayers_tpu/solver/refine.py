@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..cones.dims import ConeDims
 from .kkt import make_kkt
+from .linsolve import solve_square
 
 _DAMPINGS = (1.0, 0.5, 0.25, 0.0)  # 0.0 = keep current iterate (safeguard)
 
@@ -37,7 +38,7 @@ def make_refiner(dims: ConeDims, n: int, steps: int):
             x_, w_ = carry
             F = residual(x_, w_, P, q, A, b)
             J = jacobian(x_, w_, P, q, A, b)
-            delta = jnp.linalg.solve(J, -F)
+            delta = solve_square(J, -F)
             delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
             f0 = jnp.linalg.norm(F)
 
