@@ -28,9 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cones.dims import ConeDims
-from ..cones.jacobians import make_cone_dproj_dense
-from ..solver.kkt import make_kkt
-from ..solver.linsolve import solve_square
+from ..solver.kkt import make_kkt, make_kkt_solver
 from ..solver.refine import make_polished_solver
 from ..solver.settings import SolverSettings
 
@@ -41,6 +39,7 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
     m = dims.total
     base = make_polished_solver(dims, n, settings)
     _, jacobian, _ = make_kkt(dims, n)
+    kkt_solve = make_kkt_solver(dims, n)
 
     def _forward(P, q, A, b, x0, y0, s0):
         res = base(P, q, A, b, x0, y0, s0)
@@ -60,14 +59,14 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
         dx, dy, ds = cotangents[0], cotangents[1], cotangents[2]
         # status/iters cotangents are symbolic zeros (int outputs)
         w = s - y
-        J = jacobian(x, w, P, q, A, b)
-        dproj = make_cone_dproj_dense(dims)
-        D = dproj(w)
-        I_m = jnp.eye(m, dtype=x.dtype)
+        from ..cones.jacobians import make_cone_dproj_apply
+
+        dapply = make_cone_dproj_apply(dims)
         g_x = dx
-        g_w = (D - I_m).T @ dy + D.T @ ds
+        # (D - I)' dy + D' ds with D symmetric block-diagonal
+        g_w = dapply(w, dy + ds) - dy
         rhs = jnp.concatenate([g_x, g_w])
-        uv = -solve_square(J, rhs, transpose=True)
+        uv = -kkt_solve(x, w, P, q, A, b, rhs, transpose=True)
         uv = jnp.where(jnp.all(jnp.isfinite(uv)), uv, 0.0)
         u = uv[:n]
         v = uv[n:]

@@ -199,6 +199,7 @@ class CvxpyLayer:
         self._P_cols = jnp.asarray(p.P_cols)
         self._red_P = jnp.asarray(p.reduced_P.toarray())
         self._solvers: Dict[SolverSettings, object] = {}
+        self._cores: Dict[SolverSettings, object] = {}
         self._warm: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
 
     # ------------------------------------------------------------------ misc
@@ -213,6 +214,23 @@ class CvxpyLayer:
                 self.prog.dims, self.prog.n, settings
             )
         return self._solvers[settings]
+
+    def _core(self, settings: SolverSettings):
+        """jitted vmapped assemble+solve, cached per settings (jit's own
+        cache handles batch shapes/dtypes) — eager layer calls would
+        otherwise retrace the whole solve every time."""
+        if settings not in self._cores:
+            solver = self._solver(settings)
+
+            def core(p_ext, x0, y0, s0):
+                def solve_one(p_row, x0_, y0_, s0_):
+                    P, q, A, b, _ = self._assemble(p_row)
+                    return solver(P, q, A, b, x0_, y0_, s0_)
+
+                return jax.vmap(solve_one)(p_ext, x0, y0, s0)
+
+            self._cores[settings] = jax.jit(core)
+        return self._cores[settings]
 
     # ------------------------------------------------------------- batching
 
@@ -325,7 +343,6 @@ class CvxpyLayer:
 
     def _solve(self, params, solver_args, warm_start, want_info):
         settings = _settings_from_args(self._base_settings, solver_args)
-        solver = self._solver(settings)
         prog = self.prog
         batch, batched_flags = self._parse_batch(params)
         p_ext = self._stack_params(params, batch, batched_flags)
@@ -343,11 +360,7 @@ class CvxpyLayer:
                 y0 = jnp.asarray(wy, dtype)
                 s0 = jnp.asarray(ws, dtype)
 
-        def solve_one(p_row, x0_, y0_, s0_):
-            P, q, A, b, _ = self._assemble(p_row)
-            return solver(P, q, A, b, x0_, y0_, s0_)
-
-        x, y, s, status, iters = jax.vmap(solve_one)(p_ext, x0, y0, s0)
+        x, y, s, status, iters = self._core(settings)(p_ext, x0, y0, s0)
 
         if warm_start:
             try:

@@ -52,3 +52,44 @@ def make_kkt(dims: ConeDims, n: int):
         return Pi, Pi - w  # (s, y)
 
     return residual, jacobian, split
+
+
+def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40):
+    """Solve J(x,w) delta = rhs (or J' delta = rhs).
+
+    f64: dense J + exact LU. f32 (TPU): matvec-only CG on the normal
+    equations using the block structure — D Pi is symmetric block-diagonal,
+    so both J and J' matvecs cost O(mn + sum block^2) and the (n+m)^2
+    Jacobian is never materialized (solver/linsolve.py has the measured
+    motivation)."""
+    from ..cones.jacobians import make_cone_dproj_apply
+    from .linsolve import _cg_normal
+
+    m = dims.total
+    _, jacobian, _ = make_kkt(dims, n)
+    dapply = make_cone_dproj_apply(dims)
+
+    def solve(x, w, P, q, A, b, rhs, transpose=False):
+        if rhs.dtype == jnp.float64:
+            J = jacobian(x, w, P, q, A, b)
+            M = J.T if transpose else J
+            return jnp.linalg.solve(M, rhs)
+
+        def mv(v):
+            v1, v2 = v[:n], v[n:]
+            Dv2 = dapply(w, v2)
+            return jnp.concatenate(
+                [P @ v1 + A.T @ (Dv2 - v2), A @ v1 + Dv2]
+            )
+
+        def mvT(u):
+            u1, u2 = u[:n], u[n:]
+            Au1 = A @ u1
+            return jnp.concatenate(
+                [P @ u1 + A.T @ u2, dapply(w, Au1 + u2) - Au1]
+            )
+
+        a, aT = (mvT, mv) if transpose else (mv, mvT)
+        return _cg_normal(a, aT, rhs, cg_iters)
+
+    return solve

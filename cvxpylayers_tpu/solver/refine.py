@@ -14,8 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cones.dims import ConeDims
-from .kkt import make_kkt
-from .linsolve import solve_square
+from .kkt import make_kkt, make_kkt_solver
 
 _DAMPINGS = (1.0, 0.5, 0.25, 0.0)  # 0.0 = keep current iterate (safeguard)
 
@@ -23,6 +22,7 @@ _DAMPINGS = (1.0, 0.5, 0.25, 0.0)  # 0.0 = keep current iterate (safeguard)
 def make_refiner(dims: ConeDims, n: int, steps: int):
     m = dims.total
     residual, jacobian, split = make_kkt(dims, n)
+    kkt_solve = make_kkt_solver(dims, n)
 
     def refine(x, y, s, P, q, A, b):
         if steps <= 0:
@@ -37,8 +37,7 @@ def make_refiner(dims: ConeDims, n: int, steps: int):
         def step(carry, _):
             x_, w_ = carry
             F = residual(x_, w_, P, q, A, b)
-            J = jacobian(x_, w_, P, q, A, b)
-            delta = solve_square(J, -F)
+            delta = kkt_solve(x_, w_, P, q, A, b, -F)
             delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
             f0 = jnp.linalg.norm(F)
 
