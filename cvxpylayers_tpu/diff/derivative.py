@@ -37,7 +37,19 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
     """Returns solve(P, q, A, b, x0, y0, s0) -> (x, y, s, status, iters)
     with implicit-diff gradients w.r.t. (P, q, A, b)."""
     m = dims.total
-    base = make_polished_solver(dims, n, settings)
+    if settings.solve_method == "ipm":
+        from ..solver.ipm import make_ipm_solver
+        from ..solver.refine import make_refiner
+
+        ipm = make_ipm_solver(dims, n, settings)
+        polish = make_refiner(dims, n, min(settings.refine_steps, 2))
+
+        def base(P, q, A, b, x0, y0, s0):
+            res = ipm(P, q, A, b, x0, y0, s0)
+            x, y, s = polish(res.x, res.y, res.s, P, q, A, b)
+            return res._replace(x=x, y=y, s=s)
+    else:
+        base = make_polished_solver(dims, n, settings)
     _, jacobian, _ = make_kkt(dims, n)
     kkt_solve = make_kkt_solver(dims, n)
 

@@ -64,6 +64,7 @@ _SOLVER_ARG_KEYS = {
     "refine_steps": ("refine_steps",),
     "scaling_iters": ("scaling_iters",),
     "adaptive_rho": ("adaptive_rho",),
+    "solve_method": ("solve_method",),
 }
 
 
@@ -73,6 +74,7 @@ def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
     kw = {}
     for k, v in solver_args.items():
         if k == "solve_method":
+            kw["solve_method"] = str(v).lower()
             continue
         if k not in _SOLVER_ARG_KEYS:
             raise ValueError(f"unknown solver_args key: {k!r}")

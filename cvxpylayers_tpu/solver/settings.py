@@ -34,6 +34,7 @@ class SolverSettings:
     sigma: float = 1e-6
     alpha: float = 1.6
     scaling_iters: int = 10      # Ruiz equilibration iterations (0 = off)
+    solve_method: str = "admm"   # "admm" (+polish) or "ipm" (symmetric cones)
     refine_steps: int = 10       # semismooth Newton polish iterations
     def replace(self, **kw) -> "SolverSettings":
         return dataclasses.replace(self, **kw)

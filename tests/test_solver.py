@@ -293,3 +293,79 @@ class TestDiff:
             jnp.asarray(b_full), jnp.zeros(n), jnp.zeros(mm), jnp.zeros(mm),
         )
         np.testing.assert_allclose(np.asarray(g), np.asarray(x_star), atol=1e-5)
+
+
+class TestIPM:
+    def _solve_ipm(self, dims, n, P, q, A, b):
+        from cvxpylayers_tpu.solver.ipm import make_ipm_solver
+
+        f = jax.jit(make_ipm_solver(dims, n, SolverSettings(eps_abs=1e-9)))
+        return f(
+            jnp.asarray(P), jnp.asarray(q), jnp.asarray(A), jnp.asarray(b),
+            jnp.zeros(n), jnp.zeros(dims.total), jnp.zeros(dims.total),
+        )
+
+    def test_matches_admm_on_qp(self):
+        n, p = 6, 2
+        L = rng.standard_normal((n, n))
+        P = L @ L.T + np.eye(n)
+        q = rng.standard_normal(n)
+        G = rng.standard_normal((p, n))
+        h = rng.standard_normal(p)
+        dims = ConeDims(zero=p)
+        r_ipm = self._solve_ipm(dims, n, P, q, G, h)
+        r_admm = _solve(dims, n, P, q, G, h)
+        assert int(r_ipm.status) == SOLVED
+        assert int(r_ipm.iters) < 20  # superlinear convergence
+        np.testing.assert_allclose(
+            np.asarray(r_ipm.x), np.asarray(r_admm.x), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_ipm.y), np.asarray(r_admm.y), atol=1e-6
+        )
+
+    def test_socp(self):
+        d = 5
+        v = rng.standard_normal(d) * 2
+        dims = ConeDims(soc=(d,))
+        r = self._solve_ipm(dims, d, np.eye(d), -v, -np.eye(d), np.zeros(d))
+        assert int(r.status) == SOLVED
+        from cvxpylayers_tpu.cones.projections import project_soc
+
+        np.testing.assert_allclose(
+            np.asarray(r.x), np.asarray(project_soc(jnp.asarray(v))),
+            atol=1e-7,
+        )
+
+    def test_rejects_exp(self):
+        from cvxpylayers_tpu.solver.ipm import make_ipm_solver
+
+        with pytest.raises(ValueError, match="IPM"):
+            make_ipm_solver(ConeDims(exp=1), 2, SolverSettings())
+
+    def test_layer_solve_method_ipm(self):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        n = 5
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(x - v)), [ct.sum(x) == 1, x >= 0]
+        )
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        vv = jnp.asarray(rng.standard_normal(n))
+        (x_ipm,) = layer(vv, solver_args={"solve_method": "IPM"})
+        (x_admm,) = layer(vv)
+        np.testing.assert_allclose(
+            np.asarray(x_ipm), np.asarray(x_admm), atol=1e-7
+        )
+        g_ipm = jax.grad(
+            lambda v_: jnp.sum(
+                layer(v_, solver_args={"solve_method": "IPM"})[0] ** 2
+            )
+        )(vv)
+        g_admm = jax.grad(lambda v_: jnp.sum(layer(v_)[0] ** 2))(vv)
+        np.testing.assert_allclose(
+            np.asarray(g_ipm), np.asarray(g_admm), atol=1e-6
+        )
