@@ -10,14 +10,14 @@ patterns with parameter-affine data maps, computed once per problem.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import scipy.sparse as sp
 
 from ..expressions import constraints as cons
 from ..expressions.leaf import Constant, Parameter, Variable
-from .tensor_rep import CONST, TensorRep
+from .tensor_rep import TensorRep
 
 
 class ConeBlock:

@@ -27,7 +27,7 @@ Transform rules (T = log of the positive expression):
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -21,13 +21,13 @@ Everything else stays in the epigraph pipeline (still correct, just conic).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 
 from ..expressions.atoms import affine as aff
 from ..expressions.atoms import nonlinear as nl
-from ..expressions.leaf import Constant, Parameter
+from ..expressions.leaf import Parameter
 from .tensor_rep import CONST, TensorRep
 
 

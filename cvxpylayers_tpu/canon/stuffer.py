@@ -14,13 +14,13 @@ convention s = b - Ax (A = -V for s = Vx + c, cf. diffcp_if.py:46-70).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import scipy.sparse as sp
 
 from ..cones.dims import ConeDims
-from ..expressions.leaf import Parameter, Variable
+from ..expressions.leaf import Parameter
 from ..expressions.problem import Maximize, Problem
 from .canonicalizer import Canonicalizer, ConeBlock
 from .tensor_rep import CONST, TensorRep

@@ -25,12 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .dims import ConeDims
-from .projections import (
-    _group_runs,
-    project_exp,
-    project_pow3,
-    svec_indices,
-)
+from .projections import _group_runs, project_exp, project_pow3
 
 
 def dproj_nonneg(v: jax.Array) -> jax.Array:

@@ -20,7 +20,6 @@ Layout convention for the product cone (matches ConeDims):
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Callable
 

@@ -21,9 +21,6 @@ differentiable JAX, so this is the only custom rule in the framework.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

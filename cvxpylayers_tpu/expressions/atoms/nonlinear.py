@@ -20,7 +20,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ...canon.tensor_rep import TensorRep
-from ..expression import Curvature, Expression, Sign, as_expression
+from ..expression import Expression, Sign, as_expression
 from .base import Atom
 from .affine import _selection_matrix
 

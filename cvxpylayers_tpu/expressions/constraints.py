@@ -18,7 +18,7 @@ import itertools
 
 import numpy as np
 
-from .expression import Curvature, Expression, as_expression
+from .expression import Expression, as_expression
 
 _constraint_counter = itertools.count()
 

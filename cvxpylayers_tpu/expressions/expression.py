@@ -19,7 +19,7 @@ Conventions:
 from __future__ import annotations
 
 import enum
-from typing import Iterable, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .expression import Curvature, Expression, Sign, shape_size
+from .expression import Curvature, Expression, Sign
 
 _leaf_counter = itertools.count()
 

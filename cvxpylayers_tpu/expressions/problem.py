@@ -6,7 +6,7 @@ parse_args._validate_problem (cvxpylayers utils/parse_args.py:265-328).
 
 from __future__ import annotations
 
-from .expression import Curvature, Expression, as_expression
+from .expression import as_expression
 
 
 class Objective:

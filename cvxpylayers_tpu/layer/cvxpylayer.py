@@ -23,7 +23,6 @@ squeezed).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -33,14 +32,13 @@ import numpy as np
 from ..canon.stuffer import ConeProgram, stuff
 from ..cones.projections import svec_to_sym
 from ..diff.derivative import make_diff_solver
-from ..expressions.constraints import Constraint, DualVariable
+from ..expressions.constraints import DualVariable
 from ..expressions.leaf import Parameter, Variable
 from ..expressions.problem import Problem
 from ..solver.settings import (
     DUAL_INFEASIBLE,
     MAX_ITERS,
     PRIMAL_INFEASIBLE,
-    SOLVED,
     SolverSettings,
 )
 

@@ -8,11 +8,8 @@ returns a ready CvxpyLayer (plus its symbolic handles for advanced use).
 
 from __future__ import annotations
 
-import numpy as np
-
 from .. import expressions as ex
 from ..expressions import (
-    Constant,
     Maximize,
     Minimize,
     Parameter,

@@ -27,7 +27,6 @@ and only primal/dual residuals drive termination.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -145,12 +144,21 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings):
         return b - proj_K(b - u)
 
     def factor(P, A, rho):
-        M = P + st.sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho) @ A
-        return jnp.linalg.cholesky(M)  # lower-triangular L
+        """Explicit inverse of M = P + sigma I + A'RA via Cholesky.
 
-    def chol_solve(L, rhs):
-        z_ = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        Computing M^{-1} once per epoch turns every inner-iteration solve
+        into a single MXU matmul — on TPU, batched triangular solves are
+        LAPACK-shaped and slow, while n x n matmuls are the fast path. M is
+        SPD and Ruiz-equilibrated, and ADMM tolerates the slight extra
+        rounding (the Newton polish owns final accuracy)."""
+        M = P + st.sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho) @ A
+        L = jnp.linalg.cholesky(M)
+        eye = jnp.eye(n, dtype=P.dtype)
+        z_ = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
         return jax.scipy.linalg.solve_triangular(L, z_, lower=True, trans=1)
+
+    def chol_solve(Minv, rhs):
+        return Minv @ rhs
 
     def solve(P, q, A, b, x0, y0, s0):
         dtype = q.dtype

@@ -22,8 +22,6 @@ Design notes (TPU-first, jit/vmap-compatible):
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import numpy as np
 
 import jax
