@@ -1,0 +1,79 @@
+"""PyTorch frontend: forward values, gradcheck, batching (reference
+tests/test_torch.py patterns on the README LAD problem and a QP)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import cvxpylayers_tpu as ct
+from cvxpylayers_tpu.torch import CvxpyLayer as TorchLayer
+
+rng = np.random.default_rng(23)
+
+
+def _lad():
+    n, m = 2, 3
+    x = ct.Variable(n)
+    A = ct.Parameter((m, n))
+    b = ct.Parameter(m)
+    prob = ct.Problem(ct.Minimize(0.5 * ct.pnorm(A @ x - b, p=1)), [x >= 0])
+    return TorchLayer(prob, parameters=[A, b], variables=[x]), (n, m)
+
+
+class TestTorchFrontend:
+    def test_readme_flow(self):
+        layer, (n, m) = _lad()
+        A_t = torch.randn(m, n, dtype=torch.float64, requires_grad=True)
+        b_t = torch.randn(m, dtype=torch.float64, requires_grad=True)
+        (sol,) = layer(A_t, b_t)
+        assert sol.shape == (n,)
+        sol.sum().backward()
+        assert A_t.grad is not None and b_t.grad is not None
+        assert torch.isfinite(A_t.grad).all()
+
+    def test_values_match_jax_layer(self):
+        n = 5
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(x - v)), [ct.sum(x) == 1, x >= 0]
+        )
+        tlayer = TorchLayer(prob, parameters=[v], variables=[x])
+        import jax.numpy as jnp
+
+        vv = rng.standard_normal(n)
+        (xt,) = tlayer(torch.as_tensor(vv))
+        (xj,) = tlayer._layer(jnp.asarray(vv))
+        np.testing.assert_allclose(
+            xt.detach().numpy(), np.asarray(xj), atol=1e-9
+        )
+
+    def test_gradcheck(self):
+        n = 3
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(x - v)), [ct.sum(x) == 1]
+        )
+        layer = TorchLayer(prob, parameters=[v], variables=[x])
+        v_t = torch.randn(n, dtype=torch.float64, requires_grad=True)
+
+        def f(v_):
+            (xs,) = layer(v_)
+            return xs.sum() + (xs**2).sum()
+
+        torch.autograd.gradcheck(f, (v_t,), atol=1e-5, eps=1e-6)
+
+    def test_batched(self):
+        layer, (n, m) = _lad()
+        B = 4
+        A_t = torch.randn(B, m, n, dtype=torch.float64)
+        b_t = torch.randn(B, m, dtype=torch.float64)
+        (sol,) = layer(A_t, b_t)
+        assert sol.shape == (B, n)
+        for i in range(B):
+            (si,) = layer(A_t[i], b_t[i])
+            np.testing.assert_allclose(
+                sol[i].numpy(), si.numpy(), atol=1e-7
+            )
