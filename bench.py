@@ -50,7 +50,7 @@ def main():
     sargs = {
         "eps_abs": 1e-4, "eps_rel": 1e-4,
         "admm_eps_abs": 1e-3, "admm_eps_rel": 1e-3,
-        "max_iters": 75, "refine_steps": 6,
+        "max_iters": 75, "epoch": 75, "refine_steps": 6,
     }
 
     def loss(v_, G_, h_):

@@ -56,6 +56,7 @@ _SOLVER_ARG_KEYS = {
     "admm_eps_abs": ("admm_eps_abs",),
     "admm_eps_rel": ("admm_eps_rel",),
     "max_iters": ("max_iters",),
+    "epoch": ("epoch",),
     "rho": ("rho",),
     "sigma": ("sigma",),
     "alpha": ("alpha",),
