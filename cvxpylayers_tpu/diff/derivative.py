@@ -36,15 +36,12 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
     m = dims.total
     if settings.solve_method == "ipm":
         from ..solver.ipm import make_ipm_solver
-        from ..solver.refine import make_refiner
 
-        ipm = make_ipm_solver(dims, n, settings)
-        polish = make_refiner(dims, n, min(settings.refine_steps, 2))
-
-        def base(P, q, A, b, x0, y0, s0):
-            res = ipm(P, q, A, b, x0, y0, s0)
-            x, y, s = polish(res.x, res.y, res.s, P, q, A, b)
-            return res._replace(x=x, y=y, s=s)
+        base = make_polished_solver(
+            dims, n, settings,
+            base=make_ipm_solver(dims, n, settings),
+            refine_steps=min(settings.refine_steps, 3),
+        )
     else:
         base = make_polished_solver(dims, n, settings)
     _, jacobian, _ = make_kkt(dims, n)

@@ -64,7 +64,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
     mi = l + sum(d for d in dims.soc)  # inequality rows
     m = dims.total
     st = settings
-    max_it = 50
+    max_it = 100
     # degree of the cone (barrier parameter normalization)
     degree = max(l + len(dims.soc), 1)
 
@@ -214,11 +214,6 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
         A_in = A[p_eq:]
         b_in = b[p_eq:]
 
-        x = jnp.zeros(n, dtype)
-        y = jnp.zeros(p_eq, dtype)
-        z = e * 1.0
-        s = e * 1.0
-
         def residuals(x, y, z, s):
             rx = P @ x + q + (A_eq.T @ y if p_eq else 0.0) + (
                 A_in.T @ z if mi else jnp.zeros(n, dtype)
@@ -247,6 +242,29 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
             rhs = jnp.concatenate([-rx, -ry, -rz_mod])
             sol = jnp.linalg.solve(K, rhs)
             return sol[:n], sol[n:n + p_eq], sol[n + p_eq:]
+
+        # ---- initial point (CVXOPT-style): one least-squares KKT solve with
+        # identity scaling, then shift s and z into the cone interior
+        def _cone_violation(v):
+            """max over blocks of how far v is from the cone interior."""
+            viol = jnp.asarray(-jnp.inf, dtype)
+            if l:
+                viol = jnp.maximum(viol, jnp.max(-v[:l]))
+            for off, d in socs:
+                viol = jnp.maximum(
+                    viol,
+                    jnp.linalg.norm(v[off + 1:off + d]) - v[off],
+                )
+            return viol
+
+        def _shift_into_cone(v):
+            a = _cone_violation(v)
+            return jnp.where(a >= -1e-3, v + (1.0 + a) * e, v)
+
+        I_mi = jnp.eye(mi, dtype=dtype)
+        x, y, z_hat = kkt_solve(I_mi, q, -b_eq, -b_in)
+        s = _shift_into_cone(-z_hat)
+        z = _shift_into_cone(z_hat)
 
         def body(state):
             x, y, z, s, it, status = state

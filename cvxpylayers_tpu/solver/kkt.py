@@ -69,10 +69,27 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40):
     _, jacobian, _ = make_kkt(dims, n)
     dapply = make_cone_dproj_apply(dims)
 
-    def solve(x, w, P, q, A, b, rhs, transpose=False):
+    def solve(x, w, P, q, A, b, rhs, transpose=False,
+              regularized=False):
         if rhs.dtype == jnp.float64:
             J = jacobian(x, w, P, q, A, b)
             M = J.T if transpose else J
+            if regularized:
+                # Tikhonov-regularized least squares: robust when strict
+                # complementarity fails and J is numerically singular
+                # (weakly active constraints make the generalized Jacobian
+                # rank-deficient)
+                MtM = M.T @ M
+                dim = MtM.shape[0]
+                eps_r = 1e-12 * (jnp.trace(MtM) / dim + 1.0)
+                L = jnp.linalg.cholesky(
+                    MtM + eps_r * jnp.eye(dim, dtype=rhs.dtype)
+                )
+                rhs2 = M.T @ rhs
+                z_ = jax.scipy.linalg.solve_triangular(L, rhs2, lower=True)
+                return jax.scipy.linalg.solve_triangular(
+                    L, z_, lower=True, trans=1
+                )
             return jnp.linalg.solve(M, rhs)
 
         def mv(v):

@@ -39,18 +39,24 @@ def make_refiner(dims: ConeDims, n: int, steps: int):
             F = residual(x_, w_, P, q, A, b)
             delta = kkt_solve(x_, w_, P, q, A, b, -F)
             delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
+            # regularized least-squares direction: survives the singular-J
+            # case (weakly active constraints / failed strict
+            # complementarity) where the exact solve produces garbage
+            delta_r = kkt_solve(x_, w_, P, q, A, b, -F, regularized=True)
+            delta_r = jnp.where(jnp.all(jnp.isfinite(delta_r)), delta_r, 0.0)
             f0 = jnp.linalg.norm(F)
 
             best_x, best_w, best_f = x_, w_, f0
-            for a in _DAMPINGS[:-1]:
-                cx = x_ + a * delta[:n]
-                cw = w_ + a * delta[n:]
-                cf = jnp.linalg.norm(residual(cx, cw, P, q, A, b))
-                cf = jnp.where(jnp.isfinite(cf), cf, jnp.inf)
-                take = cf < best_f
-                best_x = jnp.where(take, cx, best_x)
-                best_w = jnp.where(take, cw, best_w)
-                best_f = jnp.where(take, cf, best_f)
+            for d in (delta, delta_r):
+                for a in _DAMPINGS[:-1]:
+                    cx = x_ + a * d[:n]
+                    cw = w_ + a * d[n:]
+                    cf = jnp.linalg.norm(residual(cx, cw, P, q, A, b))
+                    cf = jnp.where(jnp.isfinite(cf), cf, jnp.inf)
+                    take = cf < best_f
+                    best_x = jnp.where(take, cx, best_x)
+                    best_w = jnp.where(take, cw, best_w)
+                    best_f = jnp.where(take, cf, best_f)
             return (best_x, best_w), None
 
         (x_, w_), _ = jax.lax.scan(step, (x, w), None, length=steps)
@@ -60,22 +66,27 @@ def make_refiner(dims: ConeDims, n: int, steps: int):
     return refine
 
 
-def make_polished_solver(dims: ConeDims, n: int, settings):
-    """ADMM + Newton polish, returning a SolveResult (the standard forward
-    entry point; diff/derivative.py wraps it with the implicit VJP).
+def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
+                         refine_steps=None):
+    """base solver + Newton polish, returning a SolveResult (the standard
+    forward entry point; diff/derivative.py wraps it with the implicit VJP).
 
     The final status is decided by the *post-polish* unscaled KKT residual
-    against settings.eps_abs/eps_rel — ADMM only needs to get close enough
-    for the polish basin (settings.admm_eps_*), which is what makes this
-    solver fast: thousands of first-order iterations are replaced by ~10
-    Newton solves on the MXU.
+    against settings.eps_abs/eps_rel — the base solver (ADMM by default,
+    IPM via solve_method) only needs to get close enough for the polish
+    basin, which is what makes this fast: thousands of first-order
+    iterations are replaced by ~10 Newton solves on the MXU.
     """
     from .admm import SolveResult, make_admm_solver
     from .settings import MAX_ITERS, SOLVED
 
     m = dims.total
-    base = make_admm_solver(dims, n, settings)
-    refine = make_refiner(dims, n, settings.refine_steps)
+    if base is None:
+        base = make_admm_solver(dims, n, settings)
+    refine = make_refiner(
+        dims, n,
+        settings.refine_steps if refine_steps is None else refine_steps,
+    )
     residual, _, _ = make_kkt(dims, n)
 
     def solve(P, q, A, b, x0, y0, s0):

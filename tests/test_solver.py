@@ -369,3 +369,53 @@ class TestIPM:
         np.testing.assert_allclose(
             np.asarray(g_ipm), np.asarray(g_admm), atol=1e-6
         )
+
+
+class TestPallasEpochKernel:
+    def test_matches_xla_scan_interpret(self):
+        # validate the (experimental) fused kernel against the reference
+        # iteration in Pallas interpreter mode on CPU
+        from cvxpylayers_tpu.solver.pallas_admm import polyhedral_inner_epoch
+        from jax.experimental import pallas as pl
+        from unittest import mock
+
+        B, n, m = 8, 6, 10
+        r = np.random.default_rng(0)
+        minv = jnp.asarray(r.standard_normal((B, n, n)) * 0.05, jnp.float32)
+        A = jnp.asarray(r.standard_normal((B, m, n)) * 0.1, jnp.float32)
+        q = jnp.asarray(r.standard_normal((B, n)), jnp.float32)
+        b = jnp.asarray(r.standard_normal((B, m)), jnp.float32)
+        rho = jnp.full((B, m), 0.1, jnp.float32)
+        x = jnp.zeros((B, n), jnp.float32)
+        z = jnp.zeros((B, m), jnp.float32)
+        y = jnp.zeros((B, m), jnp.float32)
+
+        orig_call = pl.pallas_call
+
+        def interp_call(*a, **k):
+            k["interpret"] = True
+            return orig_call(*a, **k)
+
+        with mock.patch.object(pl, "pallas_call", interp_call):
+            out = polyhedral_inner_epoch(
+                minv, A, q, b, rho, x, z, y,
+                n_zero=2, iters=10, sigma=1e-6, alpha=1.6, tile=4,
+            )
+
+        def body(c, _):
+            x_, z_, y_ = c
+            rhs = 1e-6 * x_ - q + jnp.einsum("bmn,bm->bn", A, rho * z_ - y_)
+            xt = jnp.einsum("bnm,bm->bn", minv, rhs)
+            zt = jnp.einsum("bmn,bn->bm", A, xt)
+            xn = 1.6 * xt - 0.6 * x_
+            w = 1.6 * zt - 0.6 * z_ + y_ / rho
+            col = jnp.arange(m)[None, :]
+            zn = jnp.where(col < 2, b, b - jnp.maximum(b - w, 0.0))
+            yn = rho * (w - zn)
+            return (xn, zn, yn), None
+
+        (x2, z2, y2), _ = jax.lax.scan(body, (x, z, y), None, length=10)
+        for got, want in zip(out, (x2, z2, y2)):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5
+            )
