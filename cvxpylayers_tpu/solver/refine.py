@@ -39,15 +39,21 @@ def make_refiner(dims: ConeDims, n: int, steps: int):
             F = residual(x_, w_, P, q, A, b)
             delta = kkt_solve(x_, w_, P, q, A, b, -F)
             delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
-            # regularized least-squares direction: survives the singular-J
-            # case (weakly active constraints / failed strict
-            # complementarity) where the exact solve produces garbage
-            delta_r = kkt_solve(x_, w_, P, q, A, b, -F, regularized=True)
-            delta_r = jnp.where(jnp.all(jnp.isfinite(delta_r)), delta_r, 0.0)
+            dirs = [delta]
+            if F.dtype == jnp.float64:
+                # regularized least-squares direction: survives the
+                # singular-J case (weakly active constraints / failed
+                # strict complementarity) where the exact solve produces
+                # garbage. The f32 path's CG-on-normal-equations is
+                # already implicitly regularized by early termination.
+                delta_r = kkt_solve(x_, w_, P, q, A, b, -F, regularized=True)
+                dirs.append(
+                    jnp.where(jnp.all(jnp.isfinite(delta_r)), delta_r, 0.0)
+                )
             f0 = jnp.linalg.norm(F)
 
             best_x, best_w, best_f = x_, w_, f0
-            for d in (delta, delta_r):
+            for d in dirs:
                 for a in _DAMPINGS[:-1]:
                     cx = x_ + a * d[:n]
                     cw = w_ + a * d[n:]
