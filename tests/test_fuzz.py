@@ -83,3 +83,42 @@ def test_random_ipm_matches_admm(trial):
     (xa,) = layer(jnp.asarray(v))
     (xi,) = layer(jnp.asarray(v), solver_args={"solve_method": "ipm"})
     np.testing.assert_allclose(np.asarray(xa), np.asarray(xi), atol=1e-6)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_random_entropy_projection(trial):
+    # max c'x + sum entr(x), sum x == 1, x >= 0  ->  x = softmax(c)
+    n = int(rng.integers(3, 9))
+    c = rng.standard_normal(n) * 1.5
+    x = ct.Variable(n, nonneg=True)
+    cp_ = ct.Parameter(n)
+    prob = ct.Problem(
+        ct.Maximize(cp_ @ x + ct.sum(ct.entr(x))), [ct.sum(x) == 1]
+    )
+    layer = CvxpyLayer(prob, parameters=[cp_], variables=[x])
+    (xs,) = layer(jnp.asarray(c))
+    want = np.exp(c - c.max())
+    want = want / want.sum()
+    np.testing.assert_allclose(np.asarray(xs), want, atol=1e-6)
+
+
+def test_logistic_layer_gradients_fd():
+    import jax
+
+    from cvxpylayers_tpu import models
+
+    nf, ns = 2, 6
+    layer = models.logistic_regression_layer(nf, ns, reg=0.3)
+    Xy = jnp.asarray(rng.standard_normal((ns, nf)))
+
+    def f(Xy_):
+        (beta,) = layer(Xy_)
+        return jnp.sum(beta**2)
+
+    g = jax.grad(f)(Xy)
+    eps = 1e-6
+    for _ in range(3):
+        D = rng.standard_normal((ns, nf))
+        num = (float(f(Xy + eps * D)) - float(f(Xy - eps * D))) / (2 * eps)
+        ana = float(jnp.sum(g * D))
+        assert abs(ana - num) < 2e-4 * (1 + abs(num)), (ana, num)
