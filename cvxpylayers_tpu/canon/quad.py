@@ -130,6 +130,13 @@ def try_extract(canon, expr, acc: QuadAccumulator,
             cval * rep.vals,
         ))
         return True
+    if (
+        isinstance(expr, aff.Sum)
+        and expr.axis is None
+        and isinstance(expr.args[0], nl.Square)
+    ):
+        # sum(square(e)) == sum_squares(e): route through the same path
+        expr = nl.SumSquares(expr.args[0].args[0])
     if isinstance(expr, nl.SumSquares):
         if cval < 0:
             return False

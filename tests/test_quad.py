@@ -163,3 +163,22 @@ class TestParamScaledQuad:
             lambda g_, m_: jnp.sum(layer(g_, m_)[0] ** 2), argnums=(0, 1)
         )(jnp.asarray(gv), jnp.asarray(mv))
         assert np.isfinite(float(g[0]))
+
+
+class TestSumSquarePattern:
+    def test_sum_of_square_is_native_qp(self):
+        n = 5
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum(ct.square(x - v))), [x >= 0]
+        )
+        prog = stuff(prob, [v])
+        assert prog.dims.soc == ()      # no per-element SOC epigraphs
+        assert prog.P_rows.size == n
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        vv = rng.standard_normal(n)
+        (xs,) = layer(jnp.asarray(vv))
+        np.testing.assert_allclose(
+            np.asarray(xs), np.maximum(vv, 0), atol=1e-7
+        )
