@@ -10,7 +10,7 @@ under jit/vmap/grad/pjit.
 
 __version__ = "0.1.0"
 
-from .layer import CvxpyLayer, SolverError  # noqa: E402,F401
+from .layer import CvxpyLayer, SolverError, WarmStart  # noqa: E402,F401
 from .expressions import (  # noqa: E402,F401
     Constant,
     Constraint,

@@ -953,11 +953,9 @@ class LambdaMax(Atom):
         s = self.args[0].shape[0]
         t = _aux(ctx, 1)
         # t I - X >= 0 (PSD)
-        eye = TensorRep.constant(np.eye(s).reshape(-1))
         tI = t.apply_linear(
             sp.csr_matrix(np.eye(s).reshape(-1, 1))
         )
-        del eye
         ctx.add_psd(tI + X.neg(), s)
         return t
 

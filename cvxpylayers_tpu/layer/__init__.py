@@ -1,3 +1,3 @@
-from .cvxpylayer import CvxpyLayer, SolverError
+from .cvxpylayer import CvxpyLayer, SolverError, WarmStart
 
-__all__ = ["CvxpyLayer", "SolverError"]
+__all__ = ["CvxpyLayer", "SolverError", "WarmStart"]

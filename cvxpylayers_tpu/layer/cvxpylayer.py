@@ -23,7 +23,7 @@ squeezed).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,13 +49,31 @@ class SolverError(RuntimeError):
     Under jit/vmap, statuses are data: use solve_with_info()."""
 
 
+class WarmStart(NamedTuple):
+    """Warm-start state: the (x, y, s) iterates, each batched (B, dim).
+
+    A pytree of traced arrays — thread it through jitted training loops,
+    the jit-compatible analogue of the reference jax layer's warm-start
+    function arguments (cvxpylayers jax/cvxpylayer.py:328-337):
+
+        ws = None
+        for step in range(T):
+            (sol,), ws = layer.solve_and_state(p, warm_start=ws)
+    """
+
+    x: jax.Array
+    y: jax.Array
+    s: jax.Array
+
+
 _SOLVER_ARG_KEYS = {
     "eps": ("eps_abs", "eps_rel"),
     "eps_abs": ("eps_abs",),
     "eps_rel": ("eps_rel",),
     "admm_eps_abs": ("admm_eps_abs",),
     "admm_eps_rel": ("admm_eps_rel",),
-    "max_iters": ("max_iters",),
+    "max_iters": ("max_iters", "ipm_max_iters"),
+    "ipm_max_iters": ("ipm_max_iters",),
     "epoch": ("epoch",),
     "rho": ("rho",),
     "sigma": ("sigma",),
@@ -332,17 +350,36 @@ class CvxpyLayer:
         return tuple(outs)
 
     def __call__(self, *params, solver_args: Optional[dict] = None,
-                 warm_start: bool = False):
-        sol = self._solve(params, solver_args, warm_start, want_info=False)
-        return sol
+                 warm_start=False):
+        """Solve and return the requested variables; raises SolverError
+        eagerly on failure (jit-safe alternatives: solve_with_info /
+        solve_and_state)."""
+        outs, _, status, _ = self._solve(params, solver_args, warm_start)
+        self._maybe_raise(status)
+        return outs
 
     def solve_with_info(self, *params, solver_args: Optional[dict] = None,
-                        warm_start: bool = False):
-        """Like __call__ but also returns (status, iters) arrays — the
-        jit-safe way to observe failures."""
-        return self._solve(params, solver_args, warm_start, want_info=True)
+                        warm_start=False):
+        """Like __call__ but returns (outs, status, iters) and NEVER
+        raises on solver failure — statuses are data, inspectable in
+        eager mode and under jit/vmap alike."""
+        outs, _, status, iters = self._solve(params, solver_args, warm_start)
+        return outs, status, iters
 
-    def _solve(self, params, solver_args, warm_start, want_info):
+    def solve_and_state(self, *params, solver_args: Optional[dict] = None,
+                        warm_start=None):
+        """Solve and additionally return a WarmStart pytree for the next
+        call — the jit-compatible warm-start path (thread the returned
+        state through your training loop as a traced value). Never raises.
+
+        Reference analogue: warm starts as traced function arguments in
+        the jax layer (cvxpylayers jax/cvxpylayer.py:328-337)."""
+        outs, ws, status, iters = self._solve(
+            params, solver_args, warm_start if warm_start is not None else False
+        )
+        return outs, ws, status, iters
+
+    def _solve(self, params, solver_args, warm_start):
         settings = _settings_from_args(self._base_settings, solver_args)
         prog = self.prog
         batch, batched_flags = self._parse_batch(params)
@@ -354,7 +391,18 @@ class CvxpyLayer:
         x0 = jnp.zeros((B, n), dtype)
         y0 = jnp.zeros((B, m), dtype)
         s0 = jnp.zeros((B, m), dtype)
-        if warm_start and self._warm is not None:
+        if isinstance(warm_start, WarmStart):
+            # traced warm start: shapes are static, so a Python-level
+            # check is jit-safe
+            if tuple(warm_start.x.shape) != (B, n):
+                raise ValueError(
+                    f"warm_start batch/shape mismatch: expected ({B}, {n}),"
+                    f" got {tuple(warm_start.x.shape)}"
+                )
+            x0 = jnp.asarray(warm_start.x, dtype)
+            y0 = jnp.asarray(warm_start.y, dtype)
+            s0 = jnp.asarray(warm_start.s, dtype)
+        elif warm_start and self._warm is not None:
             wx, wy, ws = self._warm
             if wx.shape == (B, n):
                 x0 = jnp.asarray(wx, dtype)
@@ -363,7 +411,7 @@ class CvxpyLayer:
 
         x, y, s, status, iters = self._core(settings)(p_ext, x0, y0, s0)
 
-        if warm_start:
+        if warm_start is True:
             try:
                 self._warm = (
                     np.asarray(jax.lax.stop_gradient(x)),
@@ -371,21 +419,35 @@ class CvxpyLayer:
                     np.asarray(jax.lax.stop_gradient(s)),
                 )
             except jax.errors.TracerArrayConversionError:
-                pass  # under jit: skip the cache (reference jax layer
-                # behaviour, cvxpylayers jax/cvxpylayer.py:551-567)
+                pass  # under jit the eager cache is skipped (reference
+                # jax layer behaviour, cvxpylayers jax/cvxpylayer.py:551-
+                # 567); use solve_and_state to warm-start jitted loops
 
-        self._maybe_raise(status)
+        if self.verbose:
+            # works eagerly and under jit (runtime callback); `verbose`
+            # itself is static so silent calls carry zero overhead
+            jax.debug.print(
+                "cvxpylayers_tpu: solved {ok}/{tot} instances, "
+                "iters min={mn} max={mx}, worst status={st}",
+                ok=jnp.sum(status == 0), tot=status.shape[0],
+                mn=jnp.min(iters), mx=jnp.max(iters),
+                st=jnp.max(status),
+            )
+
+        next_ws = WarmStart(
+            x=jax.lax.stop_gradient(x),
+            y=jax.lax.stop_gradient(y),
+            s=jax.lax.stop_gradient(s),
+        )
 
         outs_b = jax.vmap(self._recover)(x, y)
         if batch is None:
             outs = tuple(o[0] for o in outs_b)
+            st, it = status[0], iters[0]
         else:
             outs = outs_b
-        if want_info:
-            st = status if batch is not None else status[0]
-            it = iters if batch is not None else iters[0]
-            return outs, st, it
-        return outs
+            st, it = status, iters
+        return outs, next_ws, st, it
 
     def _maybe_raise(self, status):
         """Eagerly raise SolverError on failure; silently skip under trace."""

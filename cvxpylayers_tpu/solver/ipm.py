@@ -64,7 +64,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
     mi = l + sum(d for d in dims.soc)  # inequality rows
     m = dims.total
     st = settings
-    max_it = 100
+    max_it = st.ipm_max_iters
     # degree of the cone (barrier parameter normalization)
     degree = max(l + len(dims.soc), 1)
 
@@ -190,14 +190,6 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
                 w, jnp.concatenate([head[None], tail]), (off,)
             )
         return w
-
-    def cone_e():
-        e = jnp.zeros(mi)
-        if l:
-            e = e.at[:l].set(1.0)
-        for off, d in socs:
-            e = e.at[off].set(1.0)
-        return e
 
     _e_np = np.zeros(mi)
     if l:

@@ -34,8 +34,11 @@ class SolverSettings:
     sigma: float = 1e-6
     alpha: float = 1.6
     scaling_iters: int = 10      # Ruiz equilibration iterations (0 = off)
-    solve_method: str = "admm"   # "admm" (+polish) or "ipm" (symmetric cones)
+    solve_method: str = "admm"   # "admm" (+polish) or "ipm"
     refine_steps: int = 10       # semismooth Newton polish iterations
+    ipm_max_iters: int = 100     # IPM iteration cap (IPM iters are ~100x an
+    # ADMM iter, so it gets its own knob; solver_args {"max_iters": k}
+    # lowers both so user intent is honored on either path)
     def replace(self, **kw) -> "SolverSettings":
         return dataclasses.replace(self, **kw)
 

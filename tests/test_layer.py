@@ -325,6 +325,29 @@ class TestErrors:
         with pytest.raises(SolverError, match="infeasible"):
             layer(jnp.asarray([0.0]))
 
+    def test_solve_with_info_never_raises(self):
+        # eager solve_with_info on a failing instance reports the status
+        # instead of raising — raising is __call__'s job only
+        x = ct.Variable(1)
+        p = ct.Parameter(1)
+        prob = ct.Problem(ct.Minimize(ct.sum(x)), [x >= 1, x <= p - 2])
+        layer = CvxpyLayer(prob, parameters=[p], variables=[x])
+        from cvxpylayers_tpu.solver.settings import PRIMAL_INFEASIBLE
+
+        _, status, _ = layer.solve_with_info(jnp.asarray([0.0]))
+        assert int(status) == PRIMAL_INFEASIBLE
+
+    def test_verbose_smoke(self, capfd):
+        x = ct.Variable(2)
+        p = ct.Parameter(2)
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - p)), [x >= 0])
+        layer = CvxpyLayer(prob, parameters=[p], variables=[x],
+                           verbose=True)
+        (xs,) = layer(jnp.asarray([1.0, -1.0]))
+        jax.effects_barrier()
+        out = capfd.readouterr().out
+        assert "solved" in out and "iters" in out
+
     def test_unbounded_raises(self):
         x = ct.Variable(1)
         p = ct.Parameter(1)

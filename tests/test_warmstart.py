@@ -76,6 +76,54 @@ class TestWarmStart:
         l1 = float(loss(vv))
         assert l1 < 1e-4 and l1 < l0 * 1e-2, (l0, l1)
 
+    def test_jitted_warm_start_via_state(self):
+        # warm starts as traced values survive jit (reference jax layer's
+        # function-argument warm starts, jax/cvxpylayer.py:328-337)
+        layer, _ = _proj_layer()
+        vv = jnp.asarray(rng.standard_normal((1, 8)))
+
+        @jax.jit
+        def step(v_, ws):
+            (xs,), ws2, st, it = layer.solve_and_state(v_, warm_start=ws)
+            return xs, ws2, st, it
+
+        _, ws, st1, it1 = step(vv, None)
+        _, _, st2, it2 = step(vv, ws)
+        assert int(st1.max()) == 0 and int(st2.max()) == 0
+        assert int(it2.max()) < int(it1.max()), (it1, it2)
+
+    def test_jitted_training_loop_with_state(self):
+        n = 4
+        x = ct.Variable(n, nonneg=True)
+        v = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Maximize(v @ x + ct.sum(ct.entr(x))), [ct.sum(x) == 1]
+        )
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        target = jnp.asarray([[0.4, 0.3, 0.2, 0.1]])
+
+        @jax.jit
+        def train_step(v_, ws):
+            def loss(v__):
+                (xs,), ws2, _, it = layer.solve_and_state(
+                    v__, warm_start=ws
+                )
+                return jnp.sum((xs - target) ** 2), (ws2, it)
+
+            (l_, (ws2, it)), g = jax.value_and_grad(loss, has_aux=True)(v_)
+            return v_ - 2.0 * g, ws2, l_, it
+
+        vv = jnp.asarray(rng.standard_normal((1, 4)))
+        ws = None
+        iters = []
+        for i in range(30):
+            vv, ws_new, l_, it = train_step(vv, ws)
+            ws = ws_new
+            iters.append(int(it.max()))
+        assert float(l_) < 1e-3
+        # warm starts visibly cut iteration counts inside the jitted loop
+        assert min(iters[1:]) < iters[0], iters
+
     def test_varying_batch_sizes_one_layer(self):
         # one compiled layer serves several batch sizes (reference
         # tests/test_moreau.py:1825-1851)
