@@ -1,23 +1,47 @@
-"""Primal-dual interior-point solver (Mehrotra predictor-corrector with
-Nesterov-Todd scalings) for symmetric cones: Zero, NonNeg, SOC.
+"""Primal-dual interior-point solver for the full cone family:
+Zero, NonNeg, SOC, PSD (symmetric — Nesterov-Todd scalings) and
+Exp, Pow3 (nonsymmetric — primal barrier-Hessian scalings).
 
-This is the framework's high-accuracy second algorithm — the Clarabel-style
-IPM the build plan names as the north star (cvxpylayers SURVEY section 7.1
-item 3; reference analogues: ECOS/Clarabel reached through diffcp,
-docs/guide/solvers.md:9-10). Non-symmetric cones (Exp, PSD, Pow) route to
-the ADMM+polish path instead; `solve_method="IPM"` in solver_args selects
-this solver when the cone pattern allows it.
+This is the framework's high-accuracy second algorithm — the Clarabel-
+style IPM the build plan names as the north star (cvxpylayers SURVEY
+section 7.1 item 3; reference analogues: ECOS/Clarabel reached through
+diffcp, docs/guide/solvers.md:9-10, including their exp-cone support).
+`solve_method="ipm"` in solver_args selects it.
 
-Problem form:  min (1/2)x'Px + q'x  s.t.  A x + s = b, s in K,
-with K = {0}^p x R+^l x SOC(d_1) x ... The zero block carries a free dual;
-NonNeg/SOC blocks get NT-scaled Newton steps.
+Problem form:  min (1/2)x'Px + q'x  s.t.  A x + s = b, s in K.
+
+Algorithm (Mehrotra predictor-corrector, cf. CVXOPT coneprog / ECOS):
+every Newton system uses a block-diagonal scaling matrix T with
+T z ~= s on the central path:
+
+  * NonNeg:  T = diag(s/z)                      (NT, closed form)
+  * SOC:     T = W^2, W the NT Householder form (closed form)
+  * PSD:     T = W (x)_s W with W Z W = S       (NT via two eigh)
+  * Exp/Pow: T = (1/mu) H_f(s)^{-1}             (primal barrier Hessian,
+             3x3; barriers in cones/barriers.py)
+
+and eliminates ds via  ds = -(rc + T dz), giving the symmetric
+quasidefinite KKT system  [[P, Aeq', Ain'], [Aeq, 0, 0], [Ain, 0, -T]].
+The complementarity right-hand side rc is, per block,
+
+  affine step:    rc = s (sym)             /  T z (nonsym)
+  combined step:  rc = s - sigma*mu*jinv(z) + corr (sym; corr is the
+                  Mehrotra term for NonNeg/SOC, skipped for PSD)
+                  /  T (z + sigma*mu*g(s)) (nonsym)
 
 Design notes (TPU-first, jit/vmap-compatible):
   * fixed maximum iterations under lax.while_loop (vmap batches per
     instance convergence as usual);
-  * one dense symmetric KKT matrix per iteration, solved with LU in f64
-    and CG-on-normal-equations in f32 (same dispatch as the polish);
-  * SOC NT scalings in closed form (arrow-matrix algebra, no eigendecomp).
+  * the dense KKT system is solved with exact LU in f64 (CPU tests)
+    and matvec-only CG on the normal equations in f32 — the same
+    dtype dispatch as the polish (solver/linsolve.py has the measured
+    motivation: XLA's batched LU is ~10x slower than matmul paths);
+  * step lengths: exact ratio tests for NonNeg/SOC, eigenvalue bound
+    for PSD, and a fine geometric grid search on strict cone interior
+    membership for Exp/Pow (branchless masked max);
+  * infeasibility certificates: normalized-iterate checks (Clarabel-
+    style almost-certificate detection) promote diverging iterates to
+    PRIMAL_INFEASIBLE / DUAL_INFEASIBLE statuses.
 """
 
 from __future__ import annotations
@@ -27,184 +51,381 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..cones.barriers import (
+    EXP_DUAL_INTERIOR,
+    EXP_PRIMAL_INTERIOR,
+    POW_INTERIOR,
+    exp_grad,
+    exp_hess,
+    pow_grad,
+    pow_hess,
+)
 from ..cones.dims import ConeDims
+from ..cones.projections import (
+    make_cone_projector,
+    svec_to_sym,
+    sym_to_svec,
+)
 from .admm import SolveResult
-from .settings import MAX_ITERS, SOLVED, SolverSettings
+from .linsolve import _cg_normal
+from .settings import (
+    DUAL_INFEASIBLE,
+    MAX_ITERS,
+    PRIMAL_INFEASIBLE,
+    SOLVED,
+    SolverSettings,
+)
+
+_TINY = 1e-30
 
 
 def ipm_supports(dims: ConeDims) -> bool:
-    return dims.exp == 0 and not dims.psd and not dims.pow3
+    """All cone families are supported since round 2."""
+    del dims
+    return True
 
 
-# ---------------------------------------------------------------------------
-# Jordan / NT algebra per cone block family
-# ---------------------------------------------------------------------------
-
-
-def _soc_blocks(dims: ConeDims):
-    """(offsets, sizes) of SOC blocks within the inequality segment
-    (which excludes the zero rows)."""
-    offs = []
+def _block_layout(dims: ConeDims):
+    """Static (family, offset-within-inequality-segment, meta) blocks."""
+    blocks = []
     off = dims.nonneg
     for d in dims.soc:
-        offs.append((off, d))
+        blocks.append(("soc", off, d))
         off += d
-    return offs
+    for _ in range(dims.exp):
+        blocks.append(("exp", off, None))
+        off += 3
+    for s in dims.psd:
+        blocks.append(("psd", off, s))
+        off += s * (s + 1) // 2
+    for a in dims.pow3:
+        blocks.append(("pow", off, float(a)))
+        off += 3
+    return blocks, off  # off == total inequality rows
+
+
+# geometric step-length grid for the nonsymmetric ratio test: 128 points
+# from 1.0 down to ~1e-4 (ratio ~0.93 — at most ~7% step loss/iteration)
+_GRID = 0.930572 ** np.arange(128)
+
+
+def _grid_max_step(feasible_at):
+    """Largest grid alpha whose endpoint stays strictly interior.
+
+    feasible_at: callable alpha -> bool array; evaluated on the whole
+    grid at once (vmapped), masked max. Convexity makes the feasible
+    alphas an interval, so endpoint checks suffice.
+    """
+    grid = jnp.asarray(_GRID)
+    ok = jax.vmap(feasible_at)(grid)
+    return jnp.max(jnp.where(ok, grid, 0.0))
+
+
+def _exp_interior(v):
+    x, y, z = v[0], v[1], v[2]
+    ypos = y > _TINY
+    zpos = z > _TINY
+    psi = jnp.where(ypos & zpos, y * jnp.log(
+        jnp.where(zpos, z, 1.0) / jnp.where(ypos, y, 1.0)) - x, -1.0)
+    return ypos & zpos & (psi > _TINY)
+
+
+def _exp_dual_interior(v):
+    # K* = cl{(u,v,w): u < 0, -u e^{v/u} <= e w}; strict interior
+    u, vv, w = v[0], v[1], v[2]
+    uneg = u < -_TINY
+    wpos = w > _TINY
+    # log form: log(-u) + v/u < 1 + log(w)
+    val = jnp.where(
+        uneg & wpos,
+        jnp.log(jnp.where(uneg, -u, 1.0)) + vv / jnp.where(uneg, u, -1.0)
+        - 1.0 - jnp.log(jnp.where(wpos, w, 1.0)),
+        1.0,
+    )
+    return uneg & wpos & (val < 0.0)
+
+
+def _pow_interior(v, alpha):
+    x, y, z = v[0], v[1], v[2]
+    xpos = x > _TINY
+    ypos = y > _TINY
+    val = jnp.where(
+        xpos & ypos,
+        jnp.exp(2 * alpha * jnp.log(jnp.where(xpos, x, 1.0))
+                + 2 * (1 - alpha) * jnp.log(jnp.where(ypos, y, 1.0)))
+        - z * z,
+        -1.0,
+    )
+    return xpos & ypos & (val > _TINY)
+
+
+def _pow_dual_interior(v, alpha):
+    # K*(a) = {(u,v,w): (u/a)^a (v/(1-a))^(1-a) >= |w|, u,v >= 0}
+    scaled = jnp.stack([v[0] / alpha, v[1] / (1.0 - alpha), v[2]])
+    return _pow_interior(scaled, alpha)
+
+
+def _soc_nt_w(sb, zb):
+    """NT scaling matrix W for one SOC block (Householder form)."""
+    d = sb.shape[0]
+    dtype = sb.dtype
+    Jm = jnp.concatenate([jnp.ones(1, dtype), -jnp.ones(d - 1, dtype)])
+    dets = jnp.maximum(sb[0] ** 2 - sb[1:] @ sb[1:], _TINY)
+    detz = jnp.maximum(zb[0] ** 2 - zb[1:] @ zb[1:], _TINY)
+    sbar = sb / jnp.sqrt(dets)
+    zbar = zb / jnp.sqrt(detz)
+    gamma = jnp.sqrt(jnp.maximum((1 + sbar @ zbar) / 2, _TINY))
+    wb = (sbar + Jm * zbar) / (2 * gamma)
+    vvec = wb.at[0].add(1.0) / jnp.sqrt(jnp.maximum(2.0 * (wb[0] + 1.0),
+                                                    _TINY))
+    eta = (dets / detz) ** 0.25
+    return eta * (2.0 * jnp.outer(vvec, vvec) - jnp.diag(Jm))
+
+
+def _psd_nt_w(sb, zb, side):
+    """NT scaling matrix W (W Z W = S) for one PSD block, via two eigh."""
+    S = svec_to_sym(sb, side)
+    Z = svec_to_sym(zb, side)
+    lz, Uz = jnp.linalg.eigh(Z)
+    sq = jnp.sqrt(jnp.maximum(lz, _TINY))
+    Zh = (Uz * sq) @ Uz.T
+    Zih = (Uz / sq) @ Uz.T
+    B = Zh @ S @ Zh
+    lb, Ub = jnp.linalg.eigh(B)
+    Bh = (Ub * jnp.sqrt(jnp.maximum(lb, _TINY))) @ Ub.T
+    return Zih @ Bh @ Zih
+
+
+def _psd_step_len(sb, dsb, side):
+    """max alpha in [0,1] with S + alpha dS psd (eigenvalue ratio bound)."""
+    S = svec_to_sym(sb, side)
+    dS = svec_to_sym(dsb, side)
+    ls, Us = jnp.linalg.eigh(S)
+    Sih = (Us / jnp.sqrt(jnp.maximum(ls, _TINY))) @ Us.T
+    lm = jnp.min(jnp.linalg.eigvalsh(Sih @ dS @ Sih))
+    return jnp.where(lm < 0, jnp.minimum(1.0, -1.0 / lm), 1.0)
+
+
+def _nonneg_step_len(sb, dsb):
+    neg = dsb < 0
+    cand = jnp.where(neg, -sb / jnp.where(neg, dsb, -1.0), jnp.inf)
+    return jnp.clip(jnp.min(cand), 0.0, 1.0)
+
+
+def _soc_step_len(s, ds):
+    """max alpha in [0,1] with s + alpha ds in SOC."""
+    a_ = ds[0] ** 2 - ds[1:] @ ds[1:]
+    b_ = 2 * (s[0] * ds[0] - s[1:] @ ds[1:])
+    c_ = s[0] ** 2 - s[1:] @ s[1:]
+    disc = b_ * b_ - 4 * a_ * c_
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    safe_a = jnp.where(jnp.abs(a_) > _TINY, a_, 1.0)
+    safe_b = jnp.where(jnp.abs(b_) > _TINY, b_, _TINY)
+    r1 = jnp.where(jnp.abs(a_) > _TINY, (-b_ - sq) / (2 * safe_a),
+                   -c_ / safe_b)
+    r2 = jnp.where(jnp.abs(a_) > _TINY, (-b_ + sq) / (2 * safe_a), r1)
+    roots = jnp.stack([r1, r2])
+    pos = jnp.where(roots > 1e-12, roots, jnp.inf)
+    amax = jnp.where(disc < 0, jnp.inf, jnp.min(pos))
+    head = jnp.where(ds[0] < 0, -s[0] / jnp.where(ds[0] < 0, ds[0], -1.0),
+                     jnp.inf)
+    return jnp.clip(jnp.minimum(amax, head), 0.0, 1.0)
 
 
 def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
-    if not ipm_supports(dims):
-        raise ValueError(
-            "IPM supports Zero/NonNeg/SOC cones only; use the ADMM solver "
-            "for Exp/PSD/Pow problems"
-        )
     p_eq = dims.zero
     l = dims.nonneg
-    socs = _soc_blocks(dims)
-    mi = l + sum(d for d in dims.soc)  # inequality rows
+    blocks, mi = _block_layout(dims)
     m = dims.total
     st = settings
     max_it = st.ipm_max_iters
-    # degree of the cone (barrier parameter normalization)
-    degree = max(l + len(dims.soc), 1)
+    # cone degree (barrier parameter normalization; CVXOPT convention:
+    # 1 per nonneg row, 1 per SOC block, matrix side per PSD block,
+    # 3 per exp/pow block)
+    degree = max(
+        l + len(dims.soc) + sum(dims.psd) + 3 * (dims.exp + len(dims.pow3)),
+        1,
+    )
+    # projector onto the inequality cone (certificate distance checks)
+    ineq_dims = ConeDims(zero=0, nonneg=dims.nonneg, soc=dims.soc,
+                         exp=dims.exp, psd=dims.psd, pow3=dims.pow3)
+    proj_ineq = make_cone_projector(ineq_dims)
 
-    def jprod_inv_soc(u, v):
-        """Jordan-inverse product for SOC: solve u o w = v (arrow solve)."""
-        u0 = u[0]
-        u1 = u[1:]
+    # identity / interior-point templates (numpy: captured in the closure,
+    # safe to build during a jit trace)
+    _e_np = np.zeros(mi)
+    _e_np[:l] = 1.0
+    _zint_np = np.zeros(mi)
+    _zint_np[:l] = 1.0
+    for fam, off, meta in blocks:
+        if fam == "soc":
+            _e_np[off] = 1.0
+            _zint_np[off] = 1.0
+        elif fam == "exp":
+            _e_np[off:off + 3] = EXP_PRIMAL_INTERIOR
+            _zint_np[off:off + 3] = EXP_DUAL_INTERIOR
+        elif fam == "pow":
+            _e_np[off:off + 3] = POW_INTERIOR
+            _zint_np[off:off + 3] = POW_INTERIOR
+        elif fam == "psd":
+            side = meta
+            k = off
+            for j in range(side):
+                _e_np[k] = 1.0  # svec(I): diagonal entries first per column
+                _zint_np[k] = 1.0
+                k += side - j
+
+    def soc_jinv(zb):
+        det = zb[0] ** 2 - zb[1:] @ zb[1:]
+        det = jnp.where(jnp.abs(det) > _TINY, det, _TINY)
+        return jnp.concatenate([zb[:1], -zb[1:]]) / det
+
+    def soc_jprod(a, b):
+        return jnp.concatenate(
+            [(a @ b)[None], a[0] * b[1:] + b[0] * a[1:]]
+        )
+
+    def soc_jprod_inv(u, v):
+        """Solve u o w = v (arrow solve)."""
+        u0, u1 = u[0], u[1:]
         det = u0 * u0 - u1 @ u1
-        det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+        det = jnp.where(jnp.abs(det) > _TINY, det, _TINY)
         w0 = (u0 * v[0] - u1 @ v[1:]) / det
-        w1 = (v[1:] - u1 * w0) / u0 + 0.0
-        # standard arrow inverse: w1 = (det^{-1})((-v0 u1) + ...)
-        # derived directly: [u0, u1'; u1, u0 I] w = v (arrow matrix)
-        # solve: w1 = (v1 - w0 u1)/u0
-        w1 = (v[1:] - w0 * u1) / jnp.where(jnp.abs(u0) > 1e-30, u0, 1e-30)
+        w1 = (v[1:] - w0 * u1) / jnp.where(jnp.abs(u0) > _TINY, u0, _TINY)
         return jnp.concatenate([w0[None], w1])
 
-    def soc_step_len(s, ds):
-        """max alpha in [0,1] with s + alpha ds in SOC (conservative)."""
-        # solve for boundary: ||s1+a ds1||^2 = (s0 + a ds0)^2
-        a_ = ds[0] ** 2 - ds[1:] @ ds[1:]
-        b_ = 2 * (s[0] * ds[0] - s[1:] @ ds[1:])
-        c_ = s[0] ** 2 - s[1:] @ s[1:]
-        # smallest positive root of a_ t^2 + b_ t + c_ = 0
-        disc = b_ * b_ - 4 * a_ * c_
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        r1 = jnp.where(
-            jnp.abs(a_) > 1e-30, (-b_ - sq) / (2 * jnp.where(jnp.abs(a_) > 1e-30, a_, 1.0)), -c_ / jnp.where(jnp.abs(b_) > 1e-30, b_, 1e-30)
-        )
-        r2 = jnp.where(
-            jnp.abs(a_) > 1e-30, (-b_ + sq) / (2 * jnp.where(jnp.abs(a_) > 1e-30, a_, 1.0)), r1
-        )
-        roots = jnp.stack([r1, r2])
-        pos = jnp.where(roots > 1e-12, roots, jnp.inf)
-        amax = jnp.min(pos)
-        amax = jnp.where(disc < 0, jnp.inf, amax)
-        # apex bound: the head coordinate must stay nonnegative
-        head = jnp.where(ds[0] < 0, -s[0] / jnp.where(ds[0] < 0, ds[0], -1.0),
-                         jnp.inf)
-        amax = jnp.minimum(amax, head)
-        return jnp.clip(amax, 0.0, 1.0)
-
-    def step_len(s, ds):
-        """max step in [0, 1] keeping s + alpha ds in the inequality cone."""
-        alphas = [jnp.asarray(1.0, s.dtype)]
-        if l:
-            sn = s[:l]
-            dn = ds[:l]
-            neg = dn < 0
-            cand = jnp.where(neg, -sn / jnp.where(neg, dn, -1.0), jnp.inf)
-            alphas.append(jnp.clip(jnp.min(cand), 0.0, 1.0))
-        for off, d in socs:
-            alphas.append(soc_step_len(s[off:off + d], ds[off:off + d]))
-        return jnp.min(jnp.stack(alphas))
-
-    def nt_scaling(s, z):
-        """NT scaling W (as a dense mi x mi for simplicity at these sizes)
-        with lambda = W^{-1} s = W z."""
+    def build_T(s, z, mu):
+        """Block-diagonal scaling T (mi x mi) with T z ~= s on the path."""
         dtype = s.dtype
-        W = jnp.zeros((mi, mi), dtype)
-        lam = jnp.zeros(mi, dtype)
+        T = jnp.zeros((mi, mi), dtype)
         if l:
-            w = jnp.sqrt(s[:l] / z[:l])
             idx = jnp.arange(l)
-            W = W.at[idx, idx].set(w)
-            lam = lam.at[:l].set(jnp.sqrt(s[:l] * z[:l]))
-        for off, d in socs:
-            sb = s[off:off + d]
-            zb = z[off:off + d]
-            # standard SOC NT scaling (Vandenberghe's coneprog notes)
-            Jm = jnp.concatenate(
-                [jnp.ones(1, dtype), -jnp.ones(d - 1, dtype)]
-            )
-            sbar = sb / jnp.sqrt(jnp.maximum(sb[0] ** 2 - sb[1:] @ sb[1:],
-                                             1e-30))
-            zbar = zb / jnp.sqrt(jnp.maximum(zb[0] ** 2 - zb[1:] @ zb[1:],
-                                             1e-30))
-            # gamma^2 = (1 + sbar'zbar)/2 (plain inner product), and the
-            # scaling *point* wbar = (sbar + J zbar)/(2 gamma) satisfies
-            # wbar' J wbar = 1. The NT matrix is the square root of the
-            # quadratic representation Q_wbar, given in Householder form by
-            # v = (wbar + e)/sqrt(2 (wbar_0 + 1)):  W = eta (2 v v' - J).
-            gamma = jnp.sqrt(jnp.maximum((1 + sbar @ zbar) / 2, 1e-30))
-            wb = (sbar + Jm * zbar) / (2 * gamma)
-            vvec = wb.at[0].add(1.0) / jnp.sqrt(
-                jnp.maximum(2.0 * (wb[0] + 1.0), 1e-30)
-            )
-            eta = (
-                jnp.maximum(sb[0] ** 2 - sb[1:] @ sb[1:], 1e-30)
-                / jnp.maximum(zb[0] ** 2 - zb[1:] @ zb[1:], 1e-30)
-            ) ** 0.25
-            Wb = eta * (2.0 * jnp.outer(vvec, vvec) - jnp.diag(Jm))
-            W = jax.lax.dynamic_update_slice(W, Wb, (off, off))
-            # lambda_b = W^{-1} s = W z
-            lam_b = Wb @ zb
-            lam = jax.lax.dynamic_update_slice(lam, lam_b, (off,))
-        return W, lam
+            T = T.at[idx, idx].set(s[:l] / jnp.maximum(z[:l], _TINY))
+        for fam, off, meta in blocks:
+            if fam == "soc":
+                d = meta
+                W = _soc_nt_w(s[off:off + d], z[off:off + d])
+                T = jax.lax.dynamic_update_slice(T, W @ W, (off, off))
+            elif fam == "psd":
+                side = meta
+                D = side * (side + 1) // 2
+                W = _psd_nt_w(s[off:off + D], z[off:off + D], side)
+                basis = jnp.eye(D, dtype=dtype)
+                Tb = jax.vmap(
+                    lambda e: sym_to_svec(W @ svec_to_sym(e, side) @ W)
+                )(basis).T
+                T = jax.lax.dynamic_update_slice(T, Tb, (off, off))
+            elif fam == "exp":
+                H = exp_hess(s[off:off + 3])
+                Tb = jnp.linalg.inv(H) / jnp.maximum(mu, _TINY)
+                T = jax.lax.dynamic_update_slice(T, Tb, (off, off))
+            elif fam == "pow":
+                H = pow_hess(s[off:off + 3], meta)
+                Tb = jnp.linalg.inv(H) / jnp.maximum(mu, _TINY)
+                T = jax.lax.dynamic_update_slice(T, Tb, (off, off))
+        return T
 
-    def jprod_inv(lam, v):
-        """Solve lam o w = v blockwise (Jordan inverse product)."""
-        dtype = lam.dtype
-        w = jnp.zeros(mi, dtype)
+    def rc_affine(s, z, T):
+        """Affine-step complementarity RHS: s (sym) / T z (nonsym)."""
+        rc = s
+        for fam, off, meta in blocks:
+            if fam in ("exp", "pow"):
+                Tb = jax.lax.dynamic_slice(T, (off, off), (3, 3))
+                rc = jax.lax.dynamic_update_slice(
+                    rc, Tb @ z[off:off + 3], (off,)
+                )
+        return rc
+
+    def rc_combined(s, z, T, mu, sigma, ds_a, dz_a):
+        """Combined-step RHS: centering + Mehrotra correction."""
+        dtype = s.dtype
+        rc = jnp.zeros(mi, dtype)
+        smu = sigma * mu
         if l:
-            w = w.at[:l].set(v[:l] / jnp.maximum(lam[:l], 1e-30))
-        for off, d in socs:
-            w = jax.lax.dynamic_update_slice(
-                w, jprod_inv_soc(lam[off:off + d], v[off:off + d]), (off,)
+            zs = jnp.maximum(z[:l], _TINY)
+            rc = rc.at[:l].set(
+                s[:l] - smu / zs + ds_a[:l] * dz_a[:l] / zs
             )
-        return w
+        for fam, off, meta in blocks:
+            if fam == "soc":
+                d = meta
+                sb, zb = s[off:off + d], z[off:off + d]
+                zinv = soc_jinv(zb)
+                # exact scaled-space Mehrotra term: with W the NT matrix,
+                # W^{-1} ds_a = -(lam + W dz_a) in closed form, so
+                # corr = W [lam^{-1} o ((W^{-1}ds_a) o (W dz_a))]
+                W = _soc_nt_w(sb, zb)
+                lam = W @ zb
+                Wdz = W @ dz_a[off:off + d]
+                eta = soc_jprod(-(lam + Wdz), Wdz)
+                corr = W @ soc_jprod_inv(lam, eta)
+                rc = jax.lax.dynamic_update_slice(
+                    rc, sb - smu * zinv + corr, (off,)
+                )
+            elif fam == "psd":
+                side = meta
+                D = side * (side + 1) // 2
+                Z = svec_to_sym(z[off:off + D], side)
+                lz, Uz = jnp.linalg.eigh(Z)
+                Zinv = (Uz / jnp.maximum(lz, _TINY)) @ Uz.T
+                rc = jax.lax.dynamic_update_slice(
+                    rc, s[off:off + D] - smu * sym_to_svec(Zinv), (off,)
+                )
+            elif fam == "exp":
+                sb = s[off:off + 3]
+                Tb = jax.lax.dynamic_slice(T, (off, off), (3, 3))
+                rc = jax.lax.dynamic_update_slice(
+                    rc, Tb @ (z[off:off + 3] + smu * exp_grad(sb)), (off,)
+                )
+            elif fam == "pow":
+                sb = s[off:off + 3]
+                Tb = jax.lax.dynamic_slice(T, (off, off), (3, 3))
+                rc = jax.lax.dynamic_update_slice(
+                    rc,
+                    Tb @ (z[off:off + 3] + smu * pow_grad(sb, meta)),
+                    (off,),
+                )
+        return rc
 
-    def jprod(a, b):
-        """Jordan product a o b blockwise."""
-        dtype = a.dtype
-        w = jnp.zeros(mi, dtype)
+    def step_len(v, dv, dual):
+        """max alpha in [0,1] keeping v + alpha dv in K (dual=False) or
+        K* (dual=True); zero for the nonsym grid when already infeasible."""
+        alphas = [jnp.asarray(1.0, v.dtype)]
         if l:
-            w = w.at[:l].set(a[:l] * b[:l])
-        for off, d in socs:
-            ab = a[off:off + d]
-            bb = b[off:off + d]
-            head = ab @ bb
-            tail = ab[0] * bb[1:] + bb[0] * ab[1:]
-            w = jax.lax.dynamic_update_slice(
-                w, jnp.concatenate([head[None], tail]), (off,)
-            )
-        return w
-
-    _e_np = np.zeros(mi)
-    if l:
-        _e_np[:l] = 1.0
-    for off, d in socs:
-        _e_np[off] = 1.0
+            alphas.append(_nonneg_step_len(v[:l], dv[:l]))
+        for fam, off, meta in blocks:
+            if fam == "soc":
+                d = meta
+                alphas.append(_soc_step_len(v[off:off + d],
+                                            dv[off:off + d]))
+            elif fam == "psd":
+                side = meta
+                D = side * (side + 1) // 2
+                alphas.append(_psd_step_len(v[off:off + D],
+                                            dv[off:off + D], side))
+            elif fam == "exp":
+                vb, db = v[off:off + 3], dv[off:off + 3]
+                member = _exp_dual_interior if dual else _exp_interior
+                alphas.append(_grid_max_step(lambda a: member(vb + a * db)))
+            elif fam == "pow":
+                vb, db = v[off:off + 3], dv[off:off + 3]
+                member = _pow_dual_interior if dual else _pow_interior
+                alphas.append(
+                    _grid_max_step(lambda a: member(vb + a * db, meta))
+                )
+        return jnp.min(jnp.stack(alphas))
 
     def solve(P, q, A, b, x0, y0, s0):
         del x0, y0, s0  # IPM uses its own initialization
         dtype = q.dtype
         e = jnp.asarray(_e_np, dtype)
+        zint = jnp.asarray(_zint_np, dtype)
         A_eq = A[:p_eq]
         b_eq = b[:p_eq]
         A_in = A[p_eq:]
         b_in = b[p_eq:]
+        dim = n + p_eq + mi
+        cg_iters = min(150, dim + 20)
 
         def residuals(x, y, z, s):
             rx = P @ x + q + (A_eq.T @ y if p_eq else 0.0) + (
@@ -214,13 +435,14 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
             rz = (A_in @ x + s - b_in) if mi else jnp.zeros(0, dtype)
             return rx, ry, rz
 
-        def kkt_solve(W2, rx, ry, rz_mod):
-            """Solve [[P, Aeq', Ain'], [Aeq, 0, 0], [Ain, 0, -W2]] d = -r."""
-            dim = n + p_eq + mi
+        def kkt_solve(T, rx, ry, rz_mod):
+            """Solve [[P, Aeq', Ain'], [Aeq, 0, 0], [Ain, 0, -T]] d = -r.
+
+            f64: exact dense LU. f32 (TPU): CG on the normal equations
+            with dense-matmul matvecs — the dtype dispatch measured in
+            solver/linsolve.py (batched LU is the slow path on TPU)."""
             K = jnp.zeros((dim, dim), dtype)
-            K = K.at[:n, :n].set(
-                P + st.sigma * jnp.eye(n, dtype=dtype)
-            )
+            K = K.at[:n, :n].set(P + st.sigma * jnp.eye(n, dtype=dtype))
             if p_eq:
                 K = K.at[n:n + p_eq, :n].set(A_eq)
                 K = K.at[:n, n:n + p_eq].set(A_eq.T)
@@ -230,71 +452,140 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
             if mi:
                 K = K.at[n + p_eq:, :n].set(A_in)
                 K = K.at[:n, n + p_eq:].set(A_in.T)
-                K = K.at[n + p_eq:, n + p_eq:].set(-W2)
+                K = K.at[n + p_eq:, n + p_eq:].set(-T)
             rhs = jnp.concatenate([-rx, -ry, -rz_mod])
-            sol = jnp.linalg.solve(K, rhs)
+            if dtype == jnp.float64:
+                sol = jnp.linalg.solve(K, rhs)
+            else:
+                sol = _cg_normal(lambda v_: K @ v_, lambda v_: K.T @ v_,
+                                 rhs, cg_iters)
             return sol[:n], sol[n:n + p_eq], sol[n + p_eq:]
 
-        # ---- initial point (CVXOPT-style): one least-squares KKT solve with
-        # identity scaling, then shift s and z into the cone interior
-        def _cone_violation(v):
-            """max over blocks of how far v is from the cone interior."""
-            viol = jnp.asarray(-jnp.inf, dtype)
+        # ---- initial point: least-squares KKT solve with identity
+        # scaling, then per-block shift into the cone interior
+        def _shift_into_cone(v, interior_pt):
+            out = v
             if l:
-                viol = jnp.maximum(viol, jnp.max(-v[:l]))
-            for off, d in socs:
-                viol = jnp.maximum(
-                    viol,
-                    jnp.linalg.norm(v[off + 1:off + d]) - v[off],
+                a = jnp.max(-v[:l]) if l else jnp.asarray(-jnp.inf, dtype)
+                out = out.at[:l].set(
+                    jnp.where(a >= -1e-3, v[:l] + (1.0 + a), v[:l])
                 )
-            return viol
-
-        def _shift_into_cone(v):
-            a = _cone_violation(v)
-            return jnp.where(a >= -1e-3, v + (1.0 + a) * e, v)
+            for fam, off, meta in blocks:
+                if fam == "soc":
+                    d = meta
+                    vb = v[off:off + d]
+                    a = jnp.linalg.norm(vb[1:]) - vb[0]
+                    eb = jnp.zeros(d, dtype).at[0].set(1.0)
+                    out = jax.lax.dynamic_update_slice(
+                        out,
+                        jnp.where(a >= -1e-3, vb + (1.0 + a) * eb, vb),
+                        (off,),
+                    )
+                elif fam == "psd":
+                    side = meta
+                    D = side * (side + 1) // 2
+                    vb = v[off:off + D]
+                    lmin = jnp.min(
+                        jnp.linalg.eigvalsh(svec_to_sym(vb, side))
+                    )
+                    eb = interior_pt[off:off + D]
+                    out = jax.lax.dynamic_update_slice(
+                        out,
+                        jnp.where(-lmin >= -1e-3, vb + (1.0 - lmin) * eb,
+                                  vb),
+                        (off,),
+                    )
+                else:  # exp/pow: reset to a canonical interior point at
+                    # the least-squares magnitude (robust, scale-aware)
+                    vb = v[off:off + 3]
+                    scale = jnp.maximum(jnp.max(jnp.abs(vb)), 1.0)
+                    out = jax.lax.dynamic_update_slice(
+                        out, scale * interior_pt[off:off + 3], (off,)
+                    )
+            return out
 
         I_mi = jnp.eye(mi, dtype=dtype)
         x, y, z_hat = kkt_solve(I_mi, q, -b_eq, -b_in)
-        s = _shift_into_cone(-z_hat)
-        z = _shift_into_cone(z_hat)
+        s = _shift_into_cone(-z_hat, e)
+        z = _shift_into_cone(z_hat, zint)
+
+        b_norm = jnp.max(jnp.abs(b)) if m else jnp.asarray(0.0, dtype)
+        q_norm = jnp.max(jnp.abs(q))
+
+        def certificates(x, y, z):
+            """Clarabel-style almost-certificate detection on normalized
+            iterates (the analogue of the HSDE tau/kappa verdicts)."""
+            u = jnp.concatenate([y, z]) if p_eq else z
+            nu_ = jnp.max(jnp.abs(u)) if m else jnp.asarray(0.0, dtype)
+            safe_nu = jnp.maximum(nu_, _TINY)
+            uh = u / safe_nu
+            Atu = A.T @ uh if m else jnp.zeros(n, dtype)
+            btu = b @ uh if m else jnp.asarray(0.0, dtype)
+            pinf = (
+                (nu_ > 1e3)
+                & (jnp.max(jnp.abs(Atu)) <= 1e-7 * (1.0 + q_norm))
+                & (btu < -1e-5)
+            )
+            nx = jnp.max(jnp.abs(x))
+            safe_nx = jnp.maximum(nx, _TINY)
+            xh = x / safe_nx
+            Axh = A_in @ xh if mi else jnp.zeros(0, dtype)
+            rec_dist = (
+                jnp.max(jnp.abs(-proj_ineq(-Axh) - Axh))
+                if mi else jnp.asarray(0.0, dtype)
+            )
+            eq_dist = (
+                jnp.max(jnp.abs(A_eq @ xh)) if p_eq
+                else jnp.asarray(0.0, dtype)
+            )
+            dinf = (
+                (nx > 1e3)
+                & (jnp.max(jnp.abs(P @ xh)) <= 1e-7)
+                & (eq_dist <= 1e-7 * (1.0 + b_norm))
+                & (rec_dist <= 1e-7 * (1.0 + b_norm))
+                & (q @ xh < -1e-5)
+            )
+            return pinf, dinf
 
         def body(state):
             x, y, z, s, it, status = state
-            W, lam = nt_scaling(s, z)
-            W2 = W @ W
+            mu = jnp.maximum(s @ z / degree, _TINY)
+            T = build_T(s, z, mu)
             rx, ry, rz = residuals(x, y, z, s)
-            mu = jnp.maximum(s @ z / degree, 1e-30)
 
             # ---- affine (predictor) step
-            # scaled complementarity Newton: lam o (W^{-1}ds + W dz) =
-            # -lam o lam, so the eliminated third-row correction is
-            # d_aff = lam (since lam o^{-1} (lam o lam) = lam)
-            rz_mod = rz - W @ lam
-            dx_a, dy_a, dz_a = kkt_solve(W2, rx, ry, rz_mod)
-            ds_a = -W @ (lam + W @ dz_a)
-            alpha_aff = jnp.minimum(step_len(s, ds_a), step_len(z, dz_a))
+            rc_a = rc_affine(s, z, T)
+            dx_a, dy_a, dz_a = kkt_solve(T, rx, ry, rz - rc_a)
+            ds_a = -(rc_a + T @ dz_a)
+            alpha_aff = jnp.minimum(step_len(s, ds_a, False),
+                                    step_len(z, dz_a, True))
             mu_aff = (
                 (s + alpha_aff * ds_a) @ (z + alpha_aff * dz_a) / degree
             )
             sigma_c = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
 
-            # ---- corrector (Mehrotra second-order + centering)
-            # W^{-1} ds_a = -(lam + W dz_a) in closed form
-            eta = jprod(-(lam + W @ dz_a), W @ dz_a)
-            comp = jprod(lam, lam) + eta - sigma_c * mu * e
-            d_cor = jprod_inv(lam, comp)
-            rz_mod2 = rz - W @ d_cor
-            dx, dy, dz = kkt_solve(W2, rx, ry, rz_mod2)
-            ds = -W @ (d_cor + W @ dz)
+            # ---- corrector (centering + Mehrotra second order)
+            rc_c = rc_combined(s, z, T, mu, sigma_c, ds_a, dz_a)
+            dx, dy, dz = kkt_solve(T, rx, ry, rz - rc_c)
+            ds = -(rc_c + T @ dz)
 
-            a_p = step_len(s, ds)
-            a_d = step_len(z, dz)
+            a_p = step_len(s, ds, False)
+            a_d = step_len(z, dz, True)
             alpha = 0.99 * jnp.minimum(a_p, a_d)
 
-            x = x + alpha * dx
-            y = y + alpha * dy
-            z = z + alpha * dz
-            s = s + alpha * ds
+            x_n = x + alpha * dx
+            y_n = y + alpha * dy
+            z_n = z + alpha * dz
+            s_n = s + alpha * ds
+            # NaN guard: a blown-up KKT solve keeps the previous iterate
+            ok = (
+                jnp.all(jnp.isfinite(x_n)) & jnp.all(jnp.isfinite(y_n))
+                & jnp.all(jnp.isfinite(z_n)) & jnp.all(jnp.isfinite(s_n))
+            )
+            x = jnp.where(ok, x_n, x)
+            y = jnp.where(ok, y_n, y)
+            z = jnp.where(ok, z_n, z)
+            s = jnp.where(ok, s_n, s)
             it = it + 1
 
             rx2, ry2, rz2 = residuals(x, y, z, s)
@@ -304,19 +595,23 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
                 jnp.max(jnp.abs(rz2)) if mi else 0.0,
             )
             d_res = jnp.max(jnp.abs(rx2))
-            scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)),
-                                      jnp.max(jnp.abs(b)) if m else 0.0)
+            scale = 1.0 + jnp.maximum(q_norm, b_norm)
             done = (
                 (p_res <= st.eps_abs * scale)
                 & (d_res <= st.eps_abs * scale)
                 & (mu2 <= st.eps_abs * scale)
             )
-            status = jnp.where(done, SOLVED, status).astype(jnp.int32)
+            pinf, dinf = certificates(x, y, z)
+            status = jnp.where(
+                done, SOLVED,
+                jnp.where(pinf, PRIMAL_INFEASIBLE,
+                          jnp.where(dinf, DUAL_INFEASIBLE, status)),
+            ).astype(jnp.int32)
             return x, y, z, s, it, status
 
         def cond(state):
             *_, it, status = state
-            return (status != SOLVED) & (it < max_it)
+            return (status == MAX_ITERS) & (it < max_it)
 
         init = (x, y, z, s, jnp.asarray(0, jnp.int32),
                 jnp.asarray(MAX_ITERS, jnp.int32))

@@ -337,11 +337,89 @@ class TestIPM:
             atol=1e-7,
         )
 
-    def test_rejects_exp(self):
-        from cvxpylayers_tpu.solver.ipm import make_ipm_solver
+    def test_exp_cone(self):
+        # softmax via exp cones: min -v'x + sum(x log x) over the simplex
+        # has the closed form x* = softmax(v). Canonical form: entropy
+        # epigraph t_i >= x_i log x_i via exp cone (−t_i, x_i, 1).
+        d = 4
+        v = rng.standard_normal(d)
+        # variables: [x (d), t (d)]; minimize -v'x + sum t
+        n = 2 * d
+        q = np.concatenate([-v, np.ones(d)])
+        rows = []
+        bvec = []
+        # sum x = 1 (zero cone)
+        rows.append(np.concatenate([np.ones(d), np.zeros(d)]))
+        bvec.append(1.0)
+        A = [np.asarray(rows[0])[None, :]]
+        # exp cones: (x_i log x_i <= t_i) <=> (-t_i, x_i, 1) in Kexp
+        # s = b - Ax with s in Kexp: rows for (u, w, r): u = -(-t_i) etc.
+        Ae = np.zeros((3 * d, n))
+        be = np.zeros(3 * d)
+        for i in range(d):
+            # u slot: s0 = -t_i  -> A row = +t_i coeff ... s = b - Ax
+            Ae[3 * i, d + i] = 1.0        # b=0, A x = t_i -> s0 = -t_i
+            Ae[3 * i + 1, i] = -1.0       # s1 = x_i
+            be[3 * i + 2] = 1.0           # s2 = 1
+        A_full = np.vstack([A[0], Ae])
+        b_full = np.concatenate([[1.0], be])
+        dims = ConeDims(zero=1, exp=d)
+        r = self._solve_ipm(dims, n, np.zeros((n, n)), q, A_full, b_full)
+        assert int(r.status) == SOLVED
+        ev = np.exp(v - v.max())
+        # raw IPM accuracy (the layer path adds the Newton polish on top)
+        np.testing.assert_allclose(
+            np.asarray(r.x[:d]), ev / ev.sum(), atol=5e-6
+        )
 
-        with pytest.raises(ValueError, match="IPM"):
-            make_ipm_solver(ConeDims(exp=1), 2, SolverSettings())
+    def test_psd_cone(self):
+        # min tr(CX) s.t. tr(X) = 1, X >> 0 -> x* = outer(u, u) for the
+        # min-eigenvector u of C
+        s_dim = 3
+        C = rng.standard_normal((s_dim, s_dim))
+        C = (C + C.T) / 2
+        from cvxpylayers_tpu.cones.projections import sym_to_svec
+
+        D = s_dim * (s_dim + 1) // 2
+        q = np.asarray(sym_to_svec(jnp.asarray(C)))
+        # variable x = svec(X); tr(X) = sum of diagonal svec entries
+        diag_mask = np.zeros(D)
+        k = 0
+        for j in range(s_dim):
+            diag_mask[k] = 1.0
+            k += s_dim - j
+        A_eq = diag_mask[None, :]
+        b_eq = np.array([1.0])
+        # X >> 0: s = b - Ax = x in PSD cone -> A = -I, b = 0
+        A_full = np.vstack([A_eq, -np.eye(D)])
+        b_full = np.concatenate([b_eq, np.zeros(D)])
+        dims = ConeDims(zero=1, psd=(s_dim,))
+        r = self._solve_ipm(dims, D, np.zeros((D, D)), q, A_full, b_full)
+        assert int(r.status) == SOLVED
+        w = np.linalg.eigvalsh(C)
+        obj = float(q @ np.asarray(r.x))
+        np.testing.assert_allclose(obj, w[0], atol=1e-6)
+
+    def test_ipm_primal_infeasible_certificate(self):
+        # x >= 1 and x <= 0: infeasible -> PRIMAL_INFEASIBLE status
+        dims = ConeDims(nonneg=2)
+        A = np.array([[-1.0], [1.0]])
+        b = np.array([-1.0, 0.0])
+        r = self._solve_ipm(dims, 1, np.zeros((1, 1)), np.zeros(1), A, b)
+        from cvxpylayers_tpu.solver.settings import PRIMAL_INFEASIBLE
+
+        assert int(r.status) == PRIMAL_INFEASIBLE
+
+    def test_ipm_dual_infeasible_certificate(self):
+        # min -x s.t. x >= 0: unbounded -> DUAL_INFEASIBLE status
+        dims = ConeDims(nonneg=1)
+        A = np.array([[-1.0]])
+        b = np.array([0.0])
+        r = self._solve_ipm(dims, 1, np.zeros((1, 1)), np.array([-1.0]),
+                            A, b)
+        from cvxpylayers_tpu.solver.settings import DUAL_INFEASIBLE
+
+        assert int(r.status) == DUAL_INFEASIBLE
 
     def test_layer_solve_method_ipm(self):
         import cvxpylayers_tpu as ct
@@ -368,6 +446,56 @@ class TestIPM:
         g_admm = jax.grad(lambda v_: jnp.sum(layer(v_)[0] ** 2))(vv)
         np.testing.assert_allclose(
             np.asarray(g_ipm), np.asarray(g_admm), atol=1e-6
+        )
+
+    def test_layer_ipm_exp_cone(self):
+        # entropy-regularized layer through the full IPM+polish pipeline
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        n = 4
+        x = ct.Variable(n, nonneg=True)
+        v = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Maximize(v @ x + ct.sum(ct.entr(x))), [ct.sum(x) == 1]
+        )
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        vv = jnp.asarray(rng.standard_normal(n))
+        (x_ipm,) = layer(vv, solver_args={"solve_method": "ipm"})
+        ev = np.exp(np.asarray(vv) - np.asarray(vv).max())
+        np.testing.assert_allclose(
+            np.asarray(x_ipm), ev / ev.sum(), atol=1e-8
+        )
+        g_ipm = jax.grad(
+            lambda v_: jnp.sum(
+                layer(v_, solver_args={"solve_method": "ipm"})[0] ** 2
+            )
+        )(vv)
+        g_admm = jax.grad(lambda v_: jnp.sum(layer(v_)[0] ** 2))(vv)
+        np.testing.assert_allclose(
+            np.asarray(g_ipm), np.asarray(g_admm), atol=1e-6
+        )
+
+    def test_layer_ipm_sdp(self):
+        # min-eigenvalue SDP through the layer with solve_method=ipm
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        s = 3
+        X = ct.Variable((s, s), symmetric=True)
+        C = ct.Parameter((s, s))
+        prob = ct.Problem(
+            ct.Minimize(ct.trace(C @ X)),
+            [ct.trace(X) == 1, ct.PSD(X)],
+        )
+        layer = CvxpyLayer(prob, parameters=[C], variables=[X])
+        Cm = rng.standard_normal((s, s))
+        Cm = (Cm + Cm.T) / 2
+        (X_ipm,) = layer(jnp.asarray(Cm),
+                         solver_args={"solve_method": "ipm"})
+        w = np.linalg.eigvalsh(Cm)
+        np.testing.assert_allclose(
+            float(np.trace(Cm @ np.asarray(X_ipm))), w[0], atol=1e-7
         )
 
 
