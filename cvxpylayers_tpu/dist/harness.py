@@ -1,0 +1,164 @@
+"""Scaling measurement harness: solves/s at 1 device, all local
+devices, and (multi-process) the whole global mesh.
+
+Run modes
+---------
+Single process (real TPU host or CPU):
+
+    python -m cvxpylayers_tpu.dist.harness --batch 256
+
+Multi-process CPU simulation on one machine (N processes x K virtual
+devices each; the same code path a real multi-host TPU pod runs):
+
+    python -m cvxpylayers_tpu.dist.harness --procs 2 --devices-per-proc 4
+
+The parent self-spawns the workers; worker 0 prints one JSON line with
+the measured throughputs (the BASELINE.md scaling metric: iterations/s
+at 1 chip / 1 host / N hosts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def _build_problem(n: int):
+    import cvxpylayers_tpu as ct
+
+    x = ct.Variable(n)
+    v = ct.Parameter(n)
+    G = ct.Parameter((n, n))
+    prob = ct.Problem(
+        ct.Minimize(ct.sum_squares(G @ x - v)), [x >= -1, x <= 1]
+    )
+    return ct.CvxpyLayer(prob, parameters=[v, G], variables=[x])
+
+
+def _throughput(layer, B: int, n: int, mesh, steps: int, dtype) -> float:
+    """fwd+bwd solves/s (total across the mesh) with the batch sharded
+    over `mesh`. Local meshes (a subset of this process's devices) run
+    B instances per process independently; a global mesh splits the
+    global batch B across hosts."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from .runtime import global_batch
+
+    rng = np.random.default_rng(0)
+    local_devs = set(jax.local_devices())
+    is_local = all(d in local_devs for d in mesh.devices.flat)
+    Bl = B if is_local else B // jax.process_count()
+    v = np.asarray(rng.standard_normal((Bl, n)), dtype)
+    G = np.asarray(
+        np.eye(n) + 0.1 * rng.standard_normal((Bl, n, n)), dtype
+    )
+    if is_local:
+        sh = lambda a_: jax.device_put(
+            a_, NamedSharding(
+                mesh, PartitionSpec("data", *([None] * (a_.ndim - 1)))
+            )
+        )
+        vg, Gg = sh(v), sh(G)
+    else:
+        vg, Gg = global_batch(v, mesh), global_batch(G, mesh)
+    sargs = {"eps_abs": 1e-4, "eps_rel": 1e-4, "admm_eps_abs": 1e-3,
+             "admm_eps_rel": 1e-3, "max_iters": 500, "refine_steps": 3}
+
+    def loss(v_, G_):
+        (xs,) = layer(v_, G_, solver_args=sargs)
+        return jnp.mean(xs ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss, argnums=0))
+    out = step(vg, Gg)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = step(vg, Gg)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return B * steps / dt
+
+
+def worker(args) -> None:
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count="
+              f"{args.devices_per_proc}"
+        )
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from jax.sharding import Mesh
+
+    from .runtime import initialize, make_global_mesh
+
+    if args.procs > 1:
+        initialize(f"localhost:{args.port}", args.procs, args.proc_id)
+    dtype = np.float32
+    layer = _build_problem(args.n)
+
+    results = {}
+    # 1 device
+    mesh1 = Mesh(np.array(jax.local_devices()[:1]), ("data",))
+    results["solves_per_s_1dev"] = _throughput(
+        layer, args.batch, args.n, mesh1, args.steps, dtype
+    )
+    # all local devices (one host)
+    meshL = Mesh(np.array(jax.local_devices()), ("data",))
+    results["solves_per_s_1host"] = _throughput(
+        layer, args.batch, args.n, meshL, args.steps, dtype
+    )
+    # global mesh (N hosts)
+    if args.procs > 1:
+        meshG = make_global_mesh()
+        results["solves_per_s_Nhost"] = _throughput(
+            layer, args.batch, args.n, meshG, args.steps, dtype
+        )
+        results["n_hosts"] = jax.process_count()
+    results["n_local_devices"] = len(jax.local_devices())
+    if args.proc_id == 0:
+        print(json.dumps(results), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, default=1)
+    ap.add_argument("--devices-per-proc", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--n", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--port", type=int, default=12377)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (virtual devices)")
+    ap.add_argument("--proc-id", type=int, default=None,
+                    help="internal: set for spawned workers")
+    args = ap.parse_args()
+
+    if args.procs > 1 and args.proc_id is None:
+        # parent: spawn one worker per process and stream worker 0
+        procs = []
+        for pid in range(args.procs):
+            cmd = [sys.executable, "-m", "cvxpylayers_tpu.dist.harness",
+                   *sys.argv[1:], "--proc-id", str(pid)]
+            procs.append(subprocess.Popen(cmd))
+        rc = max(p.wait() for p in procs)
+        sys.exit(rc)
+
+    args.proc_id = args.proc_id or 0
+    if args.procs > 1:
+        args.cpu = True  # multi-process mode here is the CPU simulation
+    worker(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Distributed runtime + heterogeneous bucketing (SURVEY sections 2.3 /
+7.1.6): bucketed == unbucketed round trips, shared-executable reuse,
+gradients through solve_bucketed, and the multi-process CPU scaling
+harness (the same code path a real multi-host TPU pod runs)."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cvxpylayers_tpu as ct
+from cvxpylayers_tpu import CvxpyLayer
+from cvxpylayers_tpu.dist.bucketing import (
+    _EXEC_CACHE,
+    bucket_plan,
+    solve_bucketed,
+    structure_key,
+)
+
+rng = np.random.default_rng(11)
+
+
+def _proj_layer(n):
+    x = ct.Variable(n)
+    v = ct.Parameter(n)
+    prob = ct.Problem(
+        ct.Minimize(ct.sum_squares(x - v)), [ct.sum(x) == 1, x >= 0]
+    )
+    return CvxpyLayer(prob, parameters=[v], variables=[x])
+
+
+def _box_layer(n):
+    # different parametrization but, for matching n, a DIFFERENT cone
+    # pattern (no equality row) -> its own bucket
+    x = ct.Variable(n)
+    v = ct.Parameter(n)
+    prob = ct.Problem(
+        ct.Minimize(ct.sum_squares(x - v)), [x >= 0, x <= 1]
+    )
+    return CvxpyLayer(prob, parameters=[v], variables=[x])
+
+
+class TestBucketing:
+    def test_round_trip_matches_unbucketed(self):
+        la = _proj_layer(5)
+        lb = _box_layer(5)
+        va = jnp.asarray(rng.standard_normal((3, 5)))
+        vb = jnp.asarray(rng.standard_normal(5))
+        res = solve_bucketed([(la, (va,)), (lb, (vb,))])
+        (xa_ref,) = la(va)
+        (xb_ref,) = lb(vb)
+        np.testing.assert_allclose(
+            np.asarray(res[0][0]), np.asarray(xa_ref), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(res[1][0]), np.asarray(xb_ref), atol=1e-9
+        )
+        # batchedness preserved
+        assert res[0][0].shape == (3, 5)
+        assert res[1][0].shape == (5,)
+
+    def test_same_structure_layers_share_bucket_and_executable(self):
+        # two distinct layers with identical (dims, n) solve through ONE
+        # shared compiled executable
+        n = 4
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        l1 = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.sum_squares(x - v)),
+                       [ct.sum(x) == 1, x >= 0]),
+            parameters=[v], variables=[x],
+        )
+        x2 = ct.Variable(n)
+        w = ct.Parameter(n)
+        l2 = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.sum_squares(x2 - 2.0 * w)),
+                       [ct.sum(x2) == 1, x2 >= 0]),
+            parameters=[w], variables=[x2],
+        )
+        from cvxpylayers_tpu.layer.cvxpylayer import _settings_from_args
+
+        s1 = _settings_from_args(l1._base_settings, None)
+        assert structure_key(l1, s1) == structure_key(l2, s1)
+        plan = bucket_plan([(l1, (jnp.ones(n),)), (l2, (jnp.ones(n),))])
+        assert len(plan) == 1  # one bucket
+        n_exec_before = len(_EXEC_CACHE)
+        vv = jnp.asarray(rng.standard_normal(n))
+        res = solve_bucketed([(l1, (vv,)), (l2, (vv,))])
+        assert len(_EXEC_CACHE) <= n_exec_before + 1
+        (r1,) = l1(vv)
+        (r2,) = l2(vv)
+        np.testing.assert_allclose(np.asarray(res[0][0]), np.asarray(r1),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(res[1][0]), np.asarray(r2),
+                                   atol=1e-9)
+
+    def test_padding_does_not_change_results(self):
+        la = _proj_layer(4)
+        va = jnp.asarray(rng.standard_normal((3, 4)))
+        res_pad = solve_bucketed([(la, (va,))], pad_multiple=8)
+        res_ref = solve_bucketed([(la, (va,))], pad_multiple=1)
+        np.testing.assert_allclose(
+            np.asarray(res_pad[0][0]), np.asarray(res_ref[0][0]),
+            atol=1e-12,
+        )
+        plan = bucket_plan([(la, (va,))], pad_multiple=8)
+        (count, padded), = plan.values()
+        assert (count, padded) == (3, 8)
+
+    def test_gradients_flow_through_buckets(self):
+        la = _proj_layer(4)
+        lb = _box_layer(4)
+        va = jnp.asarray(rng.standard_normal(4))
+        vb = jnp.asarray(rng.standard_normal(4))
+
+        def loss(va_, vb_):
+            res = solve_bucketed([(la, (va_,)), (lb, (vb_,))])
+            return jnp.sum(res[0][0] ** 2) + jnp.sum(res[1][0] ** 2)
+
+        ga, gb = jax.grad(loss, argnums=(0, 1))(va, vb)
+        ga_ref = jax.grad(lambda v_: jnp.sum(la(v_)[0] ** 2))(va)
+        gb_ref = jax.grad(lambda v_: jnp.sum(lb(v_)[0] ** 2))(vb)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref),
+                                   atol=1e-8)
+
+
+@pytest.mark.integration
+def test_multiprocess_scaling_harness():
+    """2 processes x 2 virtual CPU devices: the full jax.distributed
+    code path (coordinator, global mesh, cross-host batch assembly,
+    collective loss reduction) on one machine."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    res = subprocess.run(
+        [sys.executable, "-m", "cvxpylayers_tpu.dist.harness",
+         "--procs", "2", "--devices-per-proc", "2", "--batch", "8",
+         "--n", "6", "--steps", "2", "--port", "12399"],
+        capture_output=True, text=True, timeout=1200, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    import json
+
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["n_hosts"] == 2
+    assert out["n_local_devices"] == 2
+    for k in ("solves_per_s_1dev", "solves_per_s_1host",
+              "solves_per_s_Nhost"):
+        assert out[k] > 0, out
