@@ -85,6 +85,45 @@ _SOLVER_ARG_KEYS = {
 }
 
 
+# dense parameter-affine maps up to this many entries (an MXU matmul is
+# the fastest evaluation when the map fits); larger maps switch to
+# gather + segment-sum at O(nnz) memory — the reason the reference keeps
+# these sparse (cvxpylayers jax/cvxpylayer.py:321-326): at Markowitz
+# scale (n=500 => 250k params) a dense map is O(nnz * n_param) and dies.
+_DENSE_MAP_LIMIT = 1 << 20
+
+
+def _make_map_applier(R):
+    """Build p_ext (n_param+1,) -> R @ p_ext for a scipy.sparse map R."""
+    if R.shape[0] == 0:
+        zero_shape = R.shape[0]
+
+        def apply_empty(p_ext):
+            return jnp.zeros(zero_shape, p_ext.dtype)
+
+        return apply_empty
+    if R.shape[0] * R.shape[1] <= _DENSE_MAP_LIMIT:
+        Rd = jnp.asarray(R.toarray())
+
+        def apply_dense(p_ext):
+            return Rd.astype(p_ext.dtype) @ p_ext
+
+        return apply_dense
+    coo = R.tocoo()
+    rows = jnp.asarray(coo.row.astype(np.int32))
+    cols = jnp.asarray(coo.col.astype(np.int32))
+    vals = jnp.asarray(coo.data)
+    n_rows = R.shape[0]
+
+    def apply_sparse(p_ext):
+        return jax.ops.segment_sum(
+            vals.astype(p_ext.dtype) * p_ext[cols], rows,
+            num_segments=n_rows,
+        )
+
+    return apply_sparse
+
+
 def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
     if not solver_args:
         return base
@@ -208,15 +247,16 @@ class CvxpyLayer:
         self._A_rows = jnp.asarray(p.A_rows)
         self._A_cols = jnp.asarray(p.A_cols)
         self._b_rows = jnp.asarray(p.b_rows)
-        # dense parameter-affine maps (nnz x (n_param+1)); small by
-        # construction for layer-sized problems, and a single MXU matmul
-        # evaluates the whole batch
-        self._red_A = jnp.asarray(p.reduced_A.toarray())
-        self._red_b = jnp.asarray(p.reduced_b.toarray())
-        self._red_q = jnp.asarray(p.reduced_q.toarray())
+        # parameter-affine maps (nnz x (n_param+1)): dense (one MXU
+        # matmul) when small, gather+segment-sum when the dense map
+        # would blow up (reference keeps these sparse for the same
+        # reason, cvxpylayers jax/cvxpylayer.py:321-326 BCSR buffers)
+        self._apply_A = _make_map_applier(p.reduced_A)
+        self._apply_b = _make_map_applier(p.reduced_b)
+        self._apply_q = _make_map_applier(p.reduced_q)
         self._P_rows = jnp.asarray(p.P_rows)
         self._P_cols = jnp.asarray(p.P_cols)
-        self._red_P = jnp.asarray(p.reduced_P.toarray())
+        self._apply_P = _make_map_applier(p.reduced_P)
         self._solvers: Dict[SolverSettings, object] = {}
         self._cores: Dict[SolverSettings, object] = {}
         self._warm: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
@@ -306,9 +346,9 @@ class CvxpyLayer:
         """p_ext (n_param+1,) -> dense (P, q, A, b)."""
         prog = self.prog
         dtype = p_ext_row.dtype
-        A_data = self._red_A.astype(dtype) @ p_ext_row
-        b_data = self._red_b.astype(dtype) @ p_ext_row
-        q_full = self._red_q.astype(dtype) @ p_ext_row
+        A_data = self._apply_A(p_ext_row)
+        b_data = self._apply_b(p_ext_row)
+        q_full = self._apply_q(p_ext_row)
         A = jnp.zeros((prog.m, prog.n), dtype).at[
             self._A_rows, self._A_cols
         ].set(A_data)
@@ -316,7 +356,7 @@ class CvxpyLayer:
         q = q_full[:-1]
         P = jnp.zeros((prog.n, prog.n), dtype)
         if prog.P_rows.size:
-            P_data = self._red_P.astype(dtype) @ p_ext_row
+            P_data = self._apply_P(p_ext_row)
             P = P.at[self._P_rows, self._P_cols].add(P_data)
             P = 0.5 * (P + P.T)
         return P, q, A, b, q_full[-1]

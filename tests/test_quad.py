@@ -57,6 +57,56 @@ class TestExtraction:
         np.testing.assert_allclose(np.asarray(xs), vv - cv / 2, atol=1e-7)
 
 
+class TestMarkowitzScale:
+    def test_markowitz_n150_sparse_param_maps(self):
+        # n=150 => n_param ~ 22.7k; the dense reduced_P would be
+        # O(nnz_P x n_param) = 22500 x 22651 (~4 GB in f64) — the layer
+        # must route through the sparse gather/segment-sum appliers
+        # (reference analogue: BCSR buffers, jax/cvxpylayer.py:321-326)
+        n = 150
+        x = ct.Variable(n)
+        mu = ct.Parameter(n)
+        Sig = ct.Parameter((n, n), PSD=True)
+        gamma = 2.0
+        prob = ct.Problem(
+            ct.Minimize(gamma * ct.quad_form(x, Sig) - mu @ x),
+            [ct.sum(x) == 1, x >= 0],
+        )
+        import time
+
+        t0 = time.time()
+        layer = CvxpyLayer(prob, parameters=[mu, Sig], variables=[x])
+        assert time.time() - t0 < 30.0
+        F = rng.standard_normal((n, 15))
+        Sv = F @ F.T / n + 0.1 * np.eye(n)
+        muv = rng.standard_normal(n) * 0.1
+        (xs,) = layer(jnp.asarray(muv), jnp.asarray(Sv),
+                      solver_args={"solve_method": "ipm"})
+        import scipy.optimize as so
+
+        res = so.minimize(
+            lambda z: gamma * z @ Sv @ z - muv @ z, np.ones(n) / n,
+            jac=lambda z: 2 * gamma * Sv @ z - muv,
+            constraints=[{"type": "eq", "fun": lambda z: z.sum() - 1,
+                          "jac": lambda z: np.ones(n)}],
+            bounds=[(0, None)] * n, method="SLSQP",
+            options={"maxiter": 300, "ftol": 1e-12},
+        )
+        obj = float(
+            gamma * np.asarray(xs) @ Sv @ np.asarray(xs)
+            - muv @ np.asarray(xs)
+        )
+        np.testing.assert_allclose(obj, res.fun, atol=1e-8)
+        # gradients flow through the sparse appliers
+        g = jax.grad(
+            lambda m_: jnp.sum(
+                layer(m_, jnp.asarray(Sv),
+                      solver_args={"solve_method": "ipm"})[0] ** 2
+            )
+        )(jnp.asarray(muv))
+        assert np.isfinite(np.asarray(g)).all()
+
+
 class TestQuadFormParam:
     def test_forward_analytic(self):
         # min quad_form(x, P) + q'x -> x* = -(2P)^{-1} q
