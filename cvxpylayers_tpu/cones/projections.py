@@ -124,11 +124,19 @@ def _exp_solve_root(r0, s0, t0):
     Valid bracket: y_a >= 0 requires (a-1) r0 + s0 >= 0, mu >= 0 requires
     r0 - a s0 >= 0; h is strictly increasing between those limits.
     Runs under stop_gradient — derivative comes from symbolic Newton after.
+
+    The bracket is capped dtype-dependently: e^|a| must stay finite (f32
+    overflows at a ~ 88 and the resulting inf arithmetic produced NaN
+    projections), and roots beyond the cap are indistinguishable from the
+    degenerate faces at that precision anyway.
     """
-    big = jnp.asarray(1e6, r0.dtype)
+    cap = 30.0 if r0.dtype == jnp.float32 else 300.0
+    big = jnp.asarray(cap, r0.dtype)
     # Finite ends of the validity interval where they exist.
     lo = jnp.where(r0 > 0, 1.0 - s0 / jnp.where(r0 > 0, r0, 1.0), -big)
     hi = jnp.where(s0 > 0, r0 / jnp.where(s0 > 0, s0, 1.0), big)
+    lo = jnp.clip(lo, -big, big)
+    hi = jnp.clip(hi, -big, big)
     lo = jnp.minimum(lo, hi)  # guard degenerate ordering
 
     h_lo = _exp_h(lo, r0, s0, t0)
@@ -147,8 +155,8 @@ def _exp_solve_root(r0, s0, t0):
         # extend lo downward; if both negative, extend hi upward.
         both_pos = no_bracket & (hlo_ > 0)
         both_neg = no_bracket & (hlo_ <= 0)
-        new_lo = jnp.where(both_pos, lo_ - width, lo_)
-        new_hi = jnp.where(both_neg, hi_ + width, hi_)
+        new_lo = jnp.maximum(jnp.where(both_pos, lo_ - width, lo_), -big)
+        new_hi = jnp.minimum(jnp.where(both_neg, hi_ + width, hi_), big)
         new_hlo = jnp.where(both_pos, _exp_h(new_lo, r0, s0, t0), hlo_)
         new_hhi = jnp.where(both_neg, _exp_h(new_hi, r0, s0, t0), hhi_)
         return (new_lo, new_hi, new_hlo, new_hhi), None

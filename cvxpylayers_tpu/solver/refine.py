@@ -16,7 +16,17 @@ import jax.numpy as jnp
 from ..cones.dims import ConeDims
 from .kkt import make_kkt, make_kkt_solver
 
-_DAMPINGS = (1.0, 0.5, 0.25, 0.0)  # 0.0 = keep current iterate (safeguard)
+# Damping ladder for the Newton line search (each entry costs one cheap
+# residual eval). Monotone acceptance alone can freeze at nonsmooth kinks
+# of the semismooth residual — observed on f32 exp-cone problems, where
+# every damping ascended and the iterate pinned — so the refiner combines
+# this ladder with a non-monotone escape step and best-iterate tracking
+# (see make_refiner).
+_DAMPINGS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+# forced step size taken when no damping descends (Grippo-style
+# non-monotone move across the kink; the returned iterate is always the
+# best seen, so a useless escape can never worsen the result)
+_ESCAPE_STEP = 0.05
 
 
 def make_refiner(dims: ConeDims, n: int, steps: int):
@@ -35,7 +45,7 @@ def make_refiner(dims: ConeDims, n: int, steps: int):
         w = s - y
 
         def step(carry, _):
-            x_, w_ = carry
+            x_, w_, bx, bw, bf = carry
             F = residual(x_, w_, P, q, A, b)
             delta = kkt_solve(x_, w_, P, q, A, b, -F)
             delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
@@ -54,7 +64,7 @@ def make_refiner(dims: ConeDims, n: int, steps: int):
 
             best_x, best_w, best_f = x_, w_, f0
             for d in dirs:
-                for a in _DAMPINGS[:-1]:
+                for a in _DAMPINGS:
                     cx = x_ + a * d[:n]
                     cw = w_ + a * d[n:]
                     cf = jnp.linalg.norm(residual(cx, cw, P, q, A, b))
@@ -63,9 +73,30 @@ def make_refiner(dims: ConeDims, n: int, steps: int):
                     best_x = jnp.where(take, cx, best_x)
                     best_w = jnp.where(take, cw, best_w)
                     best_f = jnp.where(take, cf, best_f)
-            return (best_x, best_w), None
 
-        (x_, w_), _ = jax.lax.scan(step, (x, w), None, length=steps)
+            # global best-iterate tracking (what the refiner returns)
+            upd = best_f < bf
+            bx = jnp.where(upd, best_x, bx)
+            bw = jnp.where(upd, best_w, bw)
+            bf = jnp.where(upd, best_f, bf)
+
+            # non-monotone escape: when no damping descends (a kink of
+            # the piecewise-smooth residual), force a small step so the
+            # iteration crosses into the neighboring smoothness branch
+            # instead of freezing
+            stalled = best_f >= f0
+            ex = x_ + _ESCAPE_STEP * delta[:n]
+            ew = w_ + _ESCAPE_STEP * delta[n:]
+            ok = jnp.all(jnp.isfinite(ex)) & jnp.all(jnp.isfinite(ew))
+            nx = jnp.where(stalled & ok, ex, best_x)
+            nw = jnp.where(stalled & ok, ew, best_w)
+            return (nx, nw, bx, bw, bf), None
+
+        f_init = jnp.linalg.norm(residual(x, w, P, q, A, b))
+        f_init = jnp.where(jnp.isfinite(f_init), f_init, jnp.inf)
+        (_, _, x_, w_, _), _ = jax.lax.scan(
+            step, (x, w, x, w, f_init), None, length=steps
+        )
         s_, y_ = split(w_)
         return x_, y_, s_
 
