@@ -1,12 +1,9 @@
-"""MLX frontend placeholder.
+"""MLX frontend (API parity with the reference's mlx layer).
 
-The reference ships an MLX layer (cvxpylayers mlx/cvxpylayer.py) for Apple
-silicon. MLX does not run on TPU hosts, so this package intentionally
-raises at import with guidance; the torch and jax frontends cover the
-cross-framework story here.
+Importable only where MLX is installed (Apple silicon); raises a
+guidance ImportError elsewhere. See cvxpylayer.py for the layer.
 """
 
-raise ImportError(
-    "cvxpylayers_tpu.mlx: MLX is Apple-silicon-only and unavailable on TPU "
-    "hosts. Use cvxpylayers_tpu (JAX, native) or cvxpylayers_tpu.torch."
-)
+from .cvxpylayer import CvxpyLayer  # noqa: F401
+
+__all__ = ["CvxpyLayer"]

@@ -25,7 +25,7 @@ except ImportError as e:  # pragma: no cover
 import jax
 import jax.numpy as jnp
 
-from ..layer.cvxpylayer import CvxpyLayer as _JaxLayer
+from ..layer.cvxpylayer import CvxpyLayer as _JaxLayer, WarmStart
 
 
 def _to_jax(t: "torch.Tensor") -> jax.Array:
@@ -50,19 +50,45 @@ class CvxpyLayer(torch.nn.Module):
             verbose=verbose, solver_args=solver_args,
             canon_backend=canon_backend,
         )
+        self._warm: Optional[tuple] = None
 
-    def forward(self, *params, solver_args: Optional[dict] = None):
+    def forward(self, *params, solver_args: Optional[dict] = None,
+                warm_start: bool = False):
+        """Solve; `warm_start=True` re-feeds the previous call's solution
+        as the solver's initial iterate (the reference torch layer's
+        warm-start cache, cvxpylayers torch/cvxpylayer.py:375,464-487),
+        invalidated automatically on batch-shape change."""
         layer = self._layer
+        module = self
+
+        ws = None
+        if warm_start and self._warm is not None:
+            ws = WarmStart(*(jnp.asarray(a) for a in self._warm))
 
         class _Fn(torch.autograd.Function):
             @staticmethod
             def forward(ctx, *tensors):
                 jax_params = tuple(_to_jax(t) for t in tensors)
 
-                def call(*ps):
-                    return layer(*ps, solver_args=solver_args)
+                batch, _flags = layer._parse_batch(jax_params)
+                B = batch or 1
+                use_ws = ws if (ws is not None
+                                and ws.x.shape[0] == B) else None
 
-                outs, vjp_fn = jax.vjp(call, *jax_params)
+                def call(*ps):
+                    kw = {"warm_start": use_ws} if use_ws is not None else {}
+                    outs, next_ws, _, _ = layer.solve_and_state(
+                        *ps, solver_args=solver_args, **kw
+                    )
+                    return outs, next_ws
+
+                outs, vjp_fn, next_ws = jax.vjp(
+                    call, *jax_params, has_aux=True
+                )
+                if warm_start:
+                    module._warm = tuple(
+                        np.asarray(a) for a in next_ws
+                    )
                 ctx._vjp_fn = vjp_fn
                 ctx._like = tensors[0]
                 return tuple(_to_torch(o, tensors[0]) for o in outs)

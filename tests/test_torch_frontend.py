@@ -77,3 +77,49 @@ class TestTorchFrontend:
             np.testing.assert_allclose(
                 sol[i].numpy(), si.numpy(), atol=1e-7
             )
+
+
+class TestTorchWarmStart:
+    def test_warm_start_correctness_and_cache(self):
+        n = 6
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(x - v)), [ct.sum(x) == 1, x >= 0]
+        )
+        layer = TorchLayer(prob, parameters=[v], variables=[x])
+        vt = torch.randn(n, dtype=torch.float64)
+        (x1,) = layer(vt, warm_start=True)
+        assert layer._warm is not None
+        (x2_cold,) = layer(vt + 0.01)
+        (x2_warm,) = layer(vt + 0.01, warm_start=True)
+        np.testing.assert_allclose(
+            x2_warm.numpy(), x2_cold.numpy(), atol=1e-7
+        )
+
+    def test_warm_start_gradients_flow(self):
+        n = 4
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(x - v)), [ct.sum(x) == 1, x >= 0]
+        )
+        layer = TorchLayer(prob, parameters=[v], variables=[x])
+        vt = torch.randn(n, dtype=torch.float64, requires_grad=True)
+        layer(vt.detach(), warm_start=True)
+        (xs,) = layer(vt, warm_start=True)
+        xs.sum().backward()
+        assert vt.grad is not None and torch.isfinite(vt.grad).all()
+
+    def test_batch_shape_change_invalidates(self):
+        n = 4
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(x - v)), [ct.sum(x) == 1, x >= 0]
+        )
+        layer = TorchLayer(prob, parameters=[v], variables=[x])
+        layer(torch.randn(3, n, dtype=torch.float64), warm_start=True)
+        (xs,) = layer(torch.randn(5, n, dtype=torch.float64),
+                      warm_start=True)
+        assert xs.shape == (5, n)
