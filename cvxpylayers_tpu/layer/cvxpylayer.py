@@ -153,7 +153,22 @@ class CvxpyLayer:
     ):
         del solver, canon_backend  # single native backend; kept for API parity
         if not isinstance(problem, Problem):
-            raise ValueError("problem must be a cvxpylayers_tpu Problem")
+            # optional cvxpy interop: accept a real cvxpy.Problem when
+            # cvxpy is installed (SURVEY section 7.1.2 conformance shim)
+            from ..canon.cvxpy_interop import (
+                convert_problem,
+                is_cvxpy_problem,
+            )
+
+            if is_cvxpy_problem(problem):
+                problem, parameters, variables = convert_problem(
+                    problem, parameters, variables
+                )
+            else:
+                raise ValueError(
+                    "problem must be a cvxpylayers_tpu Problem (or a "
+                    "cvxpy Problem, when cvxpy is installed)"
+                )
         prob_params = {id(p) for p in problem.parameters()}
         given = {id(p) for p in parameters}
         if prob_params != given:
