@@ -38,8 +38,10 @@ from .expressions import (  # noqa: E402,F401
     lambda_max,
     lambda_min,
     log,
+    log_det,
     log_sum_exp,
     logistic,
+    matrix_frac,
     max,
     maximum,
     min,
@@ -54,6 +56,7 @@ from .expressions import (  # noqa: E402,F401
     quad_over_lin,
     rel_entr,
     reshape,
+    sigma_max,
     sqrt,
     square,
     sum,

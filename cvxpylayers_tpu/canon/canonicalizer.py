@@ -178,6 +178,20 @@ class Canonicalizer:
             off += p.n_rows
         self.soc_blocks.append(ConeBlock("soc", out, total, constraint_id))
 
+    def add_soc_elem(self, parts: List[TensorRep], constraint_id=None):
+        """n parallel SOC blocks of size len(parts): block i has rows
+        [p0_i, p1_i, ...] — the vectorized form of n per-element add_soc
+        calls (one interleaved rep instead of n O(n) selection matmuls,
+        which made elementwise-atom canonicalization O(n^2))."""
+        d = len(parts)
+        n = parts[0].n_rows
+        total = d * n
+        out = TensorRep.empty(total)
+        for k, p in enumerate(parts):
+            assert p.n_rows == n, (p.n_rows, n)
+            out = out + _shift_rows(p, d, k, total)
+        self.soc_blocks.append(ConeBlock("soc", out, (d,) * n, constraint_id))
+
     def add_exp(self, x: TensorRep, y: TensorRep, z: TensorRep, constraint_id=None):
         """n_rows(x) exponential cones, rows interleaved (x_i, y_i, z_i)."""
         n = x.n_rows

@@ -117,7 +117,13 @@ def stuff(problem: Problem, params: List[Parameter]) -> ConeProgram:
     dims = ConeDims(
         zero=sum(b.rep.n_rows for b in canon.zero_blocks),
         nonneg=sum(b.rep.n_rows for b in canon.nonneg_blocks),
-        soc=tuple(b.meta for b in canon.soc_blocks),
+        # an soc block's meta is one size (add_soc) or a tuple of sizes
+        # for interleaved elementwise blocks (add_soc_elem)
+        soc=tuple(
+            s
+            for b in canon.soc_blocks
+            for s in (b.meta if isinstance(b.meta, tuple) else (b.meta,))
+        ),
         exp=sum(b.meta for b in canon.exp_blocks),
         psd=tuple(b.meta for b in canon.psd_blocks),
         pow3=tuple(a for b in canon.pow_blocks for a in b.meta),

@@ -33,8 +33,10 @@ from .atoms.nonlinear import (
     lambda_max,
     lambda_min,
     log,
+    log_det,
     log_sum_exp,
     logistic,
+    matrix_frac,
     max,
     maximum,
     min,
@@ -47,6 +49,7 @@ from .atoms.nonlinear import (
     quad_form,
     quad_over_lin,
     rel_entr,
+    sigma_max,
     sqrt,
     square,
     sum_squares,
@@ -58,7 +61,7 @@ __all__ = [
     "Variable", "Maximize", "Minimize", "Problem", "diag", "hstack",
     "multiply", "reshape", "sum", "trace", "vstack", "abs", "entr", "exp",
     "geo_mean", "huber", "inv_pos", "kl_div", "lambda_max", "lambda_min",
-    "log", "log_sum_exp", "logistic", "max", "maximum", "min", "minimum",
-    "neg", "norm", "pnorm", "pos", "power", "quad_form", "quad_over_lin",
+    "log", "log_det", "log_sum_exp", "logistic", "max", "maximum", "min", "minimum",
+    "matrix_frac", "neg", "norm", "pnorm", "sigma_max", "pos", "power", "quad_form", "quad_over_lin",
     "rel_entr", "sqrt", "square", "sum_squares",
 ]

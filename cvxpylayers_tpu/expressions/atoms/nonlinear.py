@@ -139,16 +139,10 @@ class Square(Atom):
         x = arg_reps[0]
         n = x.n_rows
         t = _aux(ctx, n)
-        # per element: ||[2 x_i ; 1 - t_i]|| <= 1 + t_i
-        for i in range(n):
-            sel = _selection_matrix([i], n)
-            xi = x.apply_linear(sel)
-            ti = t.apply_linear(sel)
-            ctx.add_soc(
-                [ti + _const_rep(1, 1.0),           # 1 + t
-                 xi.scale(2.0),                     # 2x
-                 ti.neg() + _const_rep(1, 1.0)]     # 1 - t
-            )
+        one = _const_rep(n, 1.0)
+        # per element: ||[2 x_i ; 1 - t_i]|| <= 1 + t_i (one interleaved
+        # block group — O(n) construction)
+        ctx.add_soc_elem([t + one, x.scale(2.0), t.neg() + one])
         return t
 
 
@@ -325,11 +319,7 @@ class InvPos(Atom):
         n = x.n_rows
         t = _aux(ctx, n)
         # t x >= 1, x, t >= 0  <=>  ||[2 ; x - t]|| <= x + t  per element
-        for i in range(n):
-            sel = _selection_matrix([i], n)
-            xi = x.apply_linear(sel)
-            ti = t.apply_linear(sel)
-            ctx.add_soc([xi + ti, _const_rep(1, 2.0), xi + ti.neg()])
+        ctx.add_soc_elem([x + t, _const_rep(n, 2.0), x + t.neg()])
         return t
 
 
@@ -360,13 +350,9 @@ class Sqrt(Atom):
         n = x.n_rows
         t = _aux(ctx, n)
         # t^2 <= x  <=>  ||[2t ; x - 1]|| <= x + 1  per element
-        for i in range(n):
-            sel = _selection_matrix([i], n)
-            xi = x.apply_linear(sel)
-            ti = t.apply_linear(sel)
-            ctx.add_soc(
-                [xi + _const_rep(1, 1.0), ti.scale(2.0), xi + _const_rep(1, -1.0)]
-            )
+        ctx.add_soc_elem(
+            [x + _const_rep(n, 1.0), t.scale(2.0), x + _const_rep(n, -1.0)]
+        )
         return t
 
 
@@ -412,14 +398,8 @@ class Huber(Atom):
         ctx.add_zero(x + w.neg() + v.neg())  # x - w - v == 0
         ctx.add_nonneg(a + v.neg())
         ctx.add_nonneg(a + v)
-        for i in range(n):
-            sel = _selection_matrix([i], n)
-            wi = w.apply_linear(sel)
-            si = s.apply_linear(sel)
-            ctx.add_soc(
-                [si + _const_rep(1, 1.0), wi.scale(2.0),
-                 si.neg() + _const_rep(1, 1.0)]
-            )
+        one = _const_rep(n, 1.0)
+        ctx.add_soc_elem([s + one, w.scale(2.0), s.neg() + one])
         return s + a.scale(2.0 * self.M)
 
 
@@ -459,19 +439,15 @@ class Power(Atom):
         x = arg_reps[0]
         n = x.n_rows
         t = _aux(ctx, n)
-        ones = _const_rep(1, 1.0)
-        for i in range(n):
-            sel = _selection_matrix([i], n)
-            xi = x.apply_linear(sel)
-            ti = t.apply_linear(sel)
-            if 0 < self.p < 1:
-                # t <= x^p: (x, 1, t) in Pow(p)
-                ctx.add_pow(xi, ones, ti, self.p)
-            elif self.p > 1:
-                # t >= x^p (x >= 0): x <= t^{1/p}: (t, 1, x) in Pow(1/p)
-                ctx.add_pow(ti, ones, xi, 1.0 / self.p)
-            else:
-                raise ValueError(f"unsupported power {self.p}")
+        ones = _const_rep(n, 1.0)
+        if 0 < self.p < 1:
+            # t <= x^p: (x, 1, t) in Pow(p)
+            ctx.add_pow(x, ones, t, self.p)
+        elif self.p > 1:
+            # t >= x^p (x >= 0): x <= t^{1/p}: (t, 1, x) in Pow(1/p)
+            ctx.add_pow(t, ones, x, 1.0 / self.p)
+        else:
+            raise ValueError(f"unsupported power {self.p}")
         return t
 
 
@@ -586,10 +562,16 @@ def norm(expr, p=2) -> Expression:
         return Norm2(expr)
     if p in (np.inf, "inf"):
         return NormInf(expr)
+    if isinstance(p, (int, float)) and p > 1:
+        return PnormGeneral(expr, p)
     raise ValueError(f"unsupported norm order {p}")
 
 
 def pnorm(expr, p=2) -> Expression:
+    """General p-norm; also supports the concave 0 < p < 1 variant
+    (sum x^p)^(1/p) on nonneg arguments (cvxpy pnorm parity)."""
+    if isinstance(p, (int, float)) and 0 < p < 1:
+        return PnormGeneral(as_expression(expr), p)
     return norm(expr, p)
 
 
@@ -988,3 +970,232 @@ def lambda_max(expr) -> Expression:
 
 def lambda_min(expr) -> Expression:
     return LambdaMin(as_expression(expr))
+
+
+# ----------------------------------------------------- general p-norms
+
+
+class PnormGeneral(Atom):
+    """||x||_p for general p > 1 (convex), and the concave p in (0, 1)
+    "pnorm" (sum x^p)^(1/p) on x >= 0, via 3-D power cones — the route
+    the reference reaches through cvxpy's pnorm canon + SCS power cones
+    (reference docs/guide; cvxpy pnorm power-cone reduction)."""
+
+    def __init__(self, expr, p):
+        self.p = float(p)
+        if self.p <= 0 or self.p == 1.0:
+            raise ValueError("PnormGeneral needs p > 1 or 0 < p < 1")
+        super().__init__(expr)
+
+    def shape_from_args(self):
+        return ()
+
+    def is_atom_convex(self):
+        return self.p > 1
+
+    def is_atom_concave(self):
+        return 0 < self.p < 1
+
+    def is_incr(self, i):
+        return (0 < self.p < 1) or self.args[0].is_nonneg()
+
+    def is_decr(self, i):
+        return self.p > 1 and self.args[0].is_nonpos()
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        t = _aux(ctx, 1)
+        r = _aux(ctx, n)
+        t_n = t.apply_linear(sp.csr_matrix(np.ones((n, 1))))
+        sum_row = sp.csr_matrix(np.ones((1, n)))
+        if self.p > 1:
+            # |x_i| <= r_i^{1/p} t^{1-1/p}  <=>  (r_i, t, x_i) in Pow(1/p);
+            # with sum r = t this gives sum |x_i|^p <= t^p
+            ctx.add_pow(r, t_n, x, 1.0 / self.p)
+            ctx.add_zero(r.apply_linear(sum_row) + t.neg())
+        else:
+            # r_i <= x_i^p t^{1-p}  <=>  (x_i, t, r_i) in Pow(p);
+            # sum r >= t gives t^p <= sum x_i^p
+            ctx.add_pow(x, t_n, r, self.p)
+            ctx.add_nonneg(r.apply_linear(sum_row) + t.neg())
+        return t
+
+
+# ------------------------------------------------------- matrix atoms
+
+
+class MatrixFrac(Atom):
+    """x' P^{-1} x via the Schur-complement epigraph
+    [[P, x], [x', t]] >> 0 (reference reaches this through cvxpy's
+    matrix_frac canon)."""
+
+    def shape_from_args(self):
+        xs = self.args[0].shape
+        Ps = self.args[1].shape
+        if len(Ps) != 2 or Ps[0] != Ps[1]:
+            raise ValueError("matrix_frac needs a square matrix P")
+        if len(xs) != 1 or xs[0] != Ps[0]:
+            raise ValueError("matrix_frac needs x (n,) matching P (n, n)")
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x, Prep = arg_reps
+        n = self.args[0].shape[0]
+        N = n + 1
+        t = _aux(ctx, 1)
+        # embed into flat C-order (N x N): P at (i, j), x at (i, n) and
+        # (n, i), t at (n, n)
+        src = np.arange(n * n)
+        SP = sp.csr_matrix(
+            (np.ones(n * n), ((src // n) * N + src % n, src)),
+            shape=(N * N, n * n),
+        )
+        xi = np.arange(n)
+        Sx = sp.csr_matrix(
+            (np.ones(2 * n),
+             (np.concatenate([xi * N + n, n * N + xi]),
+              np.concatenate([xi, xi]))),
+            shape=(N * N, n),
+        )
+        St = sp.csr_matrix(
+            (np.ones(1), ([N * N - 1], [0])), shape=(N * N, 1)
+        )
+        flat = (
+            Prep.apply_linear(SP)
+            + x.apply_linear(Sx)
+            + t.apply_linear(St)
+        )
+        ctx.add_psd(flat, N)
+        return t
+
+
+class SigmaMax(Atom):
+    """Largest singular value: t >= sigma_max(X) iff
+    [[t I_m, X], [X', t I_n]] >> 0."""
+
+    def shape_from_args(self):
+        if len(self.args[0].shape) != 2:
+            raise ValueError("sigma_max needs a matrix")
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        X = arg_reps[0]
+        m, n = self.args[0].shape
+        N = m + n
+        t = _aux(ctx, 1)
+        diag_pos = np.arange(N) * N + np.arange(N)
+        St = sp.csr_matrix(
+            (np.ones(N), (diag_pos, np.zeros(N, dtype=int))),
+            shape=(N * N, 1),
+        )
+        src = np.arange(m * n)
+        i = src // n
+        j = src % n
+        SX = sp.csr_matrix(
+            (np.ones(2 * m * n),
+             (np.concatenate([i * N + (m + j), (m + j) * N + i]),
+              np.concatenate([src, src]))),
+            shape=(N * N, m * n),
+        )
+        ctx.add_psd(t.apply_linear(St) + X.apply_linear(SX), N)
+        return t
+
+
+class LogDet(Atom):
+    """log det X (concave, X symmetric PSD) via the standard triangular
+    factor canon: [[diag(d), Z'], [Z, X]] >> 0 with Z lower triangular,
+    d = diag(Z), gives det X >= prod d; log_det = sum log d via exp
+    cones (the cvxpy log_det reduction the reference relies on)."""
+
+    def shape_from_args(self):
+        s = self.args[0].shape
+        if len(s) != 2 or s[0] != s[1]:
+            raise ValueError("log_det needs a square matrix")
+        return ()
+
+    def is_atom_convex(self):
+        return False
+
+    def is_atom_concave(self):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        X = arg_reps[0]
+        n = self.args[0].shape[0]
+        N = 2 * n
+        # lower-triangular Z: n(n+1)/2 aux entries, row k <-> (i_k, j_k)
+        tri_i, tri_j = [], []
+        for jj in range(n):
+            for ii in range(jj, n):
+                tri_i.append(ii)
+                tri_j.append(jj)
+        tri_i = np.asarray(tri_i)
+        tri_j = np.asarray(tri_j)
+        ntri = tri_i.size
+        Z = _aux(ctx, ntri)
+        diag_mask = tri_i == tri_j
+        # PSD block positions: diag(d) at (k, k) for k < n (sourced from
+        # the diagonal entries of Z), Z at (n + i, j), Z' at (j, n + i),
+        # X at (n + i, n + j)
+        rows = []
+        cols = []
+        for k in range(ntri):
+            i_, j_ = int(tri_i[k]), int(tri_j[k])
+            rows.extend([(n + i_) * N + j_, j_ * N + (n + i_)])
+            cols.extend([k, k])
+            if i_ == j_:
+                rows.append(i_ * N + i_)
+                cols.append(k)
+        SZ = sp.csr_matrix(
+            (np.ones(len(rows)), (rows, cols)), shape=(N * N, ntri)
+        )
+        src = np.arange(n * n)
+        SXm = sp.csr_matrix(
+            (np.ones(n * n),
+             ((n + src // n) * N + (n + src % n), src)),
+            shape=(N * N, n * n),
+        )
+        ctx.add_psd(Z.apply_linear(SZ) + X.apply_linear(SXm), N)
+        # t_i <= log d_i: exp cone (t_i, 1, d_i)
+        d_sel = sp.csr_matrix(
+            (np.ones(n), (np.arange(n), np.where(diag_mask)[0])),
+            shape=(n, ntri),
+        )
+        d = Z.apply_linear(d_sel)
+        t = _aux(ctx, n)
+        ctx.add_exp(t, _const_rep(n, 1.0), d)
+        return t.apply_linear(sp.csr_matrix(np.ones((1, n))))
+
+
+def matrix_frac(x, P) -> Expression:
+    return MatrixFrac(as_expression(x), as_expression(P))
+
+
+def sigma_max(expr) -> Expression:
+    return SigmaMax(as_expression(expr))
+
+
+def log_det(expr) -> Expression:
+    return LogDet(as_expression(expr))

@@ -50,3 +50,33 @@ def test_example_sparsemax_classifier(capsys):
                    run_name="__main__")
     out = capsys.readouterr().out
     assert "train accuracy" in out
+
+
+def test_example_constrained_mpc(capsys):
+    runpy.run_path(str(REPO / "examples" / "constrained_mpc.py"),
+                   run_name="__main__")
+    assert "mpc closed-loop cost" in capsys.readouterr().out
+
+
+def test_example_optimal_transport(capsys):
+    runpy.run_path(str(REPO / "examples" / "optimal_transport.py"),
+                   run_name="__main__")
+    assert "ot cost" in capsys.readouterr().out
+
+
+def test_example_data_poisoning(capsys):
+    runpy.run_path(str(REPO / "examples" / "data_poisoning.py"),
+                   run_name="__main__")
+    assert "poisoning attack" in capsys.readouterr().out
+
+
+def test_example_signal_denoising(capsys):
+    runpy.run_path(str(REPO / "examples" / "signal_denoising.py"),
+                   run_name="__main__")
+    assert "denoising" in capsys.readouterr().out
+
+
+def test_example_constrained_lqr(capsys):
+    runpy.run_path(str(REPO / "examples" / "constrained_lqr.py"),
+                   run_name="__main__")
+    assert "lqr closed-loop cost" in capsys.readouterr().out
