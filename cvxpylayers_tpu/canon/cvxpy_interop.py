@@ -240,23 +240,32 @@ def convert_problem(cp_problem, parameters: Sequence,
         else Maximize(obj_expr)
     )
     con_map = {}
+    dv_map = {}
     constraints = []
     for c in cp_problem.constraints:
         nc = conv.constraint(c)
         con_map[id(c)] = nc
+        # cvxpy exposes per-part dual variables on cone constraints;
+        # map them positionally onto the native multi-part duals
+        for k, dv in enumerate(getattr(c, "dual_variables", [])):
+            if k < len(nc.dual_variables):
+                dv_map[id(dv)] = nc.dual_variables[k]
         constraints.append(nc)
     native = Problem(objective, constraints)
     n_params = [conv.leaf(p) for p in parameters]
     n_vars = []
     for v in variables:
-        if isinstance(v, cp.Variable):
+        if id(v) in dv_map:
+            # a cvxpy per-part dual variable object
+            n_vars.append(dv_map[id(v)])
+        elif isinstance(v, cp.Variable):
             n_vars.append(conv.leaf(v))
         elif id(v) in con_map:
             # a cvxpy constraint in the variables list requests its dual
             n_vars.append(con_map[id(v)].dual_variables[0])
         else:
             raise InteropError(
-                "variables entries must be cvxpy Variables or problem "
-                "constraints (for duals)"
+                "variables entries must be cvxpy Variables, per-part "
+                "dual variables, or problem constraints (for duals)"
             )
     return native, n_params, n_vars

@@ -72,7 +72,10 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
         # (D - I)' dy + D' ds with D symmetric block-diagonal
         g_w = dapply(w, dy + ds) - dy
         rhs = jnp.concatenate([g_x, g_w])
-        uv = -kkt_solve(x, w, P, q, A, b, rhs, transpose=True)
+        # iter_refine: the solve accuracy IS the gradient accuracy — one
+        # refinement step lifts f32/TPU-bf16 directions to ~1e-6 relative
+        uv = -kkt_solve(x, w, P, q, A, b, rhs, transpose=True,
+                        iter_refine=rhs.dtype != jnp.float64)
         uv = jnp.where(jnp.all(jnp.isfinite(uv)), uv, 0.0)
         u = uv[:n]
         v = uv[n:]

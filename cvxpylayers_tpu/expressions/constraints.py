@@ -24,26 +24,34 @@ _constraint_counter = itertools.count()
 
 
 class DualVariable:
-    """Handle for a constraint's dual variable — pass it in a CvxpyLayer's
-    `variables` list to have the dual returned (reference API:
-    constraint.dual_variables[0], cvxpylayers tests/test_dual_variables.py:28)."""
+    """Handle for (one part of) a constraint's dual variable — pass it in
+    a CvxpyLayer's `variables` list to have the dual returned (reference
+    API: constraint.dual_variables[i], cvxpylayers
+    tests/test_dual_variables.py:28,807-974). Cone constraints expose the
+    reference's multi-part structure: SOC has parts (t-dual, X-dual);
+    ExpCone/PowCone3D have parts (x-dual, y-dual, z-dual)."""
 
-    def __init__(self, constraint: "Constraint"):
+    def __init__(self, constraint: "Constraint", part: int = 0):
         self.constraint = constraint
+        self.part = int(part)
 
     def __repr__(self):
-        return f"DualVariable(of={self.constraint!r})"
+        return f"DualVariable(of={self.constraint!r}, part={self.part})"
 
 
 class Constraint:
+    N_DUAL_PARTS = 1
+
     def __init__(self, args):
         self.args = tuple(args)
         self.id = next(_constraint_counter)
-        self._dual_variable = DualVariable(self)
+        self._dual_vars = [
+            DualVariable(self, k) for k in range(self.N_DUAL_PARTS)
+        ]
 
     @property
     def dual_variables(self):
-        return [self._dual_variable]
+        return list(self._dual_vars)
 
     def variables(self):
         seen = {}
@@ -111,7 +119,11 @@ class Inequality(Constraint):
 
 
 class SOC(Constraint):
-    """||X||_2 <= t, t scalar affine, X affine (flattened)."""
+    """||X||_2 <= t, t scalar affine, X affine (flattened).
+
+    dual_variables: [t-dual (scalar), X-dual (X's shape)]."""
+
+    N_DUAL_PARTS = 2
 
     def __init__(self, t, X):
         t = as_expression(t)
@@ -128,7 +140,11 @@ class SOC(Constraint):
 
 
 class ExpCone(Constraint):
-    """(x, y, z) in Kexp elementwise: y e^(x/y) <= z."""
+    """(x, y, z) in Kexp elementwise: y e^(x/y) <= z.
+
+    dual_variables: [x-dual, y-dual, z-dual] (each argument-shaped)."""
+
+    N_DUAL_PARTS = 3
 
     def __init__(self, x, y, z):
         x, y, z = (as_expression(a) for a in (x, y, z))
@@ -154,7 +170,11 @@ class PSD(Constraint):
 
 
 class PowCone3D(Constraint):
-    """(x, y, z) with x^alpha y^(1-alpha) >= |z| elementwise."""
+    """(x, y, z) with x^alpha y^(1-alpha) >= |z| elementwise.
+
+    dual_variables: [x-dual, y-dual, z-dual] (each argument-shaped)."""
+
+    N_DUAL_PARTS = 3
 
     def __init__(self, x, y, z, alpha):
         x, y, z = (as_expression(a) for a in (x, y, z))

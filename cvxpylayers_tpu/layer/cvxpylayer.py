@@ -106,7 +106,12 @@ def _make_map_applier(R):
         Rd = jnp.asarray(R.toarray())
 
         def apply_dense(p_ext):
-            return Rd.astype(p_ext.dtype) @ p_ext
+            # full f32: TPU's default bf16 matmul would perturb the
+            # PROBLEM DATA itself at ~1e-3 relative — a hard floor on
+            # every downstream accuracy claim. This matmul runs once per
+            # solve; cost is negligible next to the solver iterations.
+            with jax.default_matmul_precision("highest"):
+                return Rd.astype(p_ext.dtype) @ p_ext
 
         return apply_dense
     coo = R.tocoo()
@@ -242,7 +247,7 @@ class CvxpyLayer:
                     raise ValueError(
                         "dual variable does not belong to a problem constraint"
                     )
-                self._outputs.append(("dual", prob_cons[cid]))
+                self._outputs.append(("dual", prob_cons[cid], v.part))
             else:
                 raise ValueError(
                     f"variables must be Variables or DualVariables, got {v!r}"
@@ -379,7 +384,8 @@ class CvxpyLayer:
     def _recover(self, x, y, batchless_shape=False):
         outs = []
         prog = self.prog
-        for kind, obj in self._outputs:
+        for entry in self._outputs:
+            kind, obj = entry[0], entry[1]
             if kind == "gpvar":
                 vi = prog.var_info[id(obj)]
                 sl = x[vi.offset:vi.offset + int(np.prod(vi.shape or (1,)))]
@@ -394,12 +400,25 @@ class CvxpyLayer:
                     sl = x[vi.offset:vi.offset + int(np.prod(vi.shape or (1,)))]
                     outs.append(sl.reshape(vi.shape))
             else:
+                part = entry[2]
                 di = prog.dual_info[obj.id]
                 sl = y[di.offset:di.offset + di.length]
                 if di.kind in ("zero", "nonneg") and di.shape is not None:
                     outs.append(sl.reshape(di.shape))
                 elif di.kind == "psd":
                     outs.append(svec_to_sym(sl, di.meta))
+                elif di.kind == "soc":
+                    # reference dual structure (cvxpy SOC duals,
+                    # tests/test_dual_variables.py:807-974): part 0 is
+                    # the scalar t-dual, part 1 the X-shaped dual
+                    if part == 0:
+                        outs.append(sl[0].reshape(()))
+                    else:
+                        outs.append(sl[1:].reshape(obj.args[1].shape))
+                elif di.kind in ("exp", "pow"):
+                    # rows are interleaved (x_i, y_i, z_i) triples; part
+                    # selects the x/y/z component, argument-shaped
+                    outs.append(sl[part::3].reshape(obj.args[0].shape))
                 else:
                     outs.append(sl)
         return tuple(outs)

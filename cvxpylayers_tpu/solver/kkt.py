@@ -30,11 +30,16 @@ def make_kkt(dims: ConeDims, n: int):
     dproj = make_cone_dproj_dense(dims)
 
     def residual(x, w, P, q, A, b):
-        Pi = proj(w)
-        y = Pi - w
-        F1 = P @ x + q + (A.T @ y if m else jnp.zeros(n, x.dtype))
-        F2 = A @ x + Pi - b
-        return jnp.concatenate([F1, F2])
+        # F is a catastrophic cancellation (O(1) operands, near-zero
+        # result); TPU's default bf16 matmul inputs floor it at ~1e-3,
+        # which silently caps the whole polish. Force full f32 here —
+        # residual evals are a tiny fraction of polish matvecs.
+        with jax.default_matmul_precision("highest"):
+            Pi = proj(w)
+            y = Pi - w
+            F1 = P @ x + q + (A.T @ y if m else jnp.zeros(n, x.dtype))
+            F2 = A @ x + Pi - b
+            return jnp.concatenate([F1, F2])
 
     def jacobian(x, w, P, q, A, b):
         """Generalized Jacobian of F wrt (x, w): (n+m, n+m) dense."""
@@ -57,20 +62,78 @@ def make_kkt(dims: ConeDims, n: int):
 def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40):
     """Solve J(x,w) delta = rhs (or J' delta = rhs).
 
-    f64: dense J + exact LU. f32 (TPU): matvec-only CG on the normal
-    equations using the block structure — D Pi is symmetric block-diagonal,
-    so both J and J' matvecs cost O(mn + sum block^2) and the (n+m)^2
-    Jacobian is never materialized (solver/linsolve.py has the measured
-    motivation)."""
+    f64: dense J + exact LU.
+
+    f32 (TPU), polyhedral cones: the generalized Jacobian's D block is a
+    0/1 diagonal (zero rows: 0; nonneg rows: 1[w>0]), so the system
+    reduces EXACTLY to a saddle problem on (v1, v2_inactive):
+
+        [[P, -+A_0'], [A_0, 0]] — A_0 the inactive (d=0) rows —
+
+    solved by a range-space Schur split: one small (n x n) Cholesky
+    explicit inverse of P + sigma I (MXU-friendly, same trick as the
+    ADMM factor) plus CG on S = A_0 Pinv A_0' (dimension m, condition
+    number of A Pinv A' — NOT squared like the normal equations), with
+    masked rows identity-padded to keep shapes static. This replaces
+    ~40 normal-equation CG iterations of 5 einsums each with ~18
+    iterations of 3, and it is exact rather than least-squares.
+
+    f32, general cones: matvec-only CG on the normal equations — D is
+    symmetric block-diagonal, so J/J' matvecs cost O(mn + sum block^2)
+    and the (n+m)^2 Jacobian is never materialized (solver/linsolve.py
+    has the measured motivation)."""
     from ..cones.jacobians import make_cone_dproj_apply
-    from .linsolve import _cg_normal
+    from .linsolve import _cg_normal, _cg_spd
 
     m = dims.total
     _, jacobian, _ = make_kkt(dims, n)
     dapply = make_cone_dproj_apply(dims)
+    polyhedral = dims.is_polyhedral()
+    n_zero = dims.zero
+    schur_iters = max(12, min(40, m // 4 + 10))
+
+    def solve_polyhedral(x, w, P, q, A, b, rhs, transpose):
+        dtype = rhs.dtype
+        r1 = rhs[:n]
+        r2 = rhs[n:]
+        # active mask d (rows where the projection derivative is 1)
+        row = jnp.arange(m)
+        d = jnp.where(row < n_zero, 0.0, (w > 0).astype(dtype))
+        inact = 1.0 - d  # rows entering the saddle system
+        # Pinv via Cholesky explicit inverse (n x n, cheap on MXU)
+        sig = 1e-6 * (jnp.trace(P) / n + 1.0)
+        L = jnp.linalg.cholesky(P + sig * jnp.eye(n, dtype=dtype))
+        eye = jnp.eye(n, dtype=dtype)
+        Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        Pinv = Li.T @ Li
+
+        def S_mv(v):
+            # masked Schur matvec, identity on active rows
+            av = A.T @ (inact * v)
+            return inact * (A @ (Pinv @ av)) + d * v
+
+        if not transpose:
+            # [[P, -A_0'], [A_0, 0]] [v1; u] = [r1; r2_0]
+            # -> S u = r2_0 - A_0 Pinv r1,  v1 = Pinv (r1 + A_0' u)
+            rhs_u = inact * r2 - inact * (A @ (Pinv @ r1))
+            u = _cg_spd(S_mv, rhs_u, schur_iters)
+            v1 = Pinv @ (r1 + A.T @ (inact * u))
+            # active rows: v2 = r2 - A v1; inactive rows: v2 = u
+            v2 = d * (r2 - A @ v1) + inact * u
+            return jnp.concatenate([v1, v2])
+
+        # J' [v1; v2] = r: active rows give v2 = r2 directly; the
+        # saddle is [[P, A_0'], [A_0, 0]] [v1; u] = [r1 - A_1' r2_1;
+        # -r2_0]  ->  S u = A_0 Pinv rhs1 + r2_0, v1 = Pinv(rhs1-A_0'u)
+        rhs1 = r1 - A.T @ (d * r2)
+        rhs_u = inact * (A @ (Pinv @ rhs1)) + inact * r2
+        u = _cg_spd(S_mv, rhs_u, schur_iters)
+        v1 = Pinv @ (rhs1 - A.T @ (inact * u))
+        v2 = d * r2 + inact * u
+        return jnp.concatenate([v1, v2])
 
     def solve(x, w, P, q, A, b, rhs, transpose=False,
-              regularized=False):
+              regularized=False, iter_refine=False):
         if rhs.dtype == jnp.float64:
             J = jacobian(x, w, P, q, A, b)
             M = J.T if transpose else J
@@ -106,7 +169,22 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40):
                 [P @ u1 + A.T @ u2, dapply(w, Au1 + u2) - Au1]
             )
 
-        a, aT = (mvT, mv) if transpose else (mv, mvT)
-        return _cg_normal(a, aT, rhs, cg_iters)
+        def solve_once(r):
+            if polyhedral:
+                return solve_polyhedral(x, w, P, q, A, b, r, transpose)
+            a, aT = (mvT, mv) if transpose else (mv, mvT)
+            return _cg_normal(a, aT, r, cg_iters)
+
+        sol = solve_once(rhs)
+        if iter_refine:
+            # one step of iterative refinement with the true-precision
+            # residual: directions from bf16 matvecs carry ~1e-3 relative
+            # error, which squares away after one correction — used by
+            # the backward pass, where the solve accuracy IS the
+            # gradient accuracy
+            with jax.default_matmul_precision("highest"):
+                resid = rhs - (mvT(sol) if transpose else mv(sol))
+            sol = sol + solve_once(resid)
+        return sol
 
     return solve

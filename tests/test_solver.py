@@ -547,3 +547,46 @@ class TestPallasEpochKernel:
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), atol=1e-5
             )
+
+
+class TestPolyhedralKKTFastPath:
+    def test_matches_dense_lu_f32(self):
+        # the f32 Schur fast path (kkt.make_kkt_solver polyhedral branch)
+        # must reproduce the exact J/J' solves on nondegenerate systems
+        from cvxpylayers_tpu.solver.kkt import make_kkt, make_kkt_solver
+
+        rng_ = np.random.default_rng(3)
+        checked = 0
+        while checked < 8:
+            n = int(rng_.integers(4, 12))
+            nz = int(rng_.integers(0, 3))
+            nn = int(rng_.integers(2, 10))
+            dims = ConeDims(zero=nz, nonneg=nn)
+            m = dims.total
+            L = rng_.standard_normal((n, n))
+            P = (L @ L.T + np.eye(n)).astype(np.float32)
+            A = rng_.standard_normal((m, n)).astype(np.float32)
+            b = rng_.standard_normal(m).astype(np.float32)
+            q = rng_.standard_normal(n).astype(np.float32)
+            x = rng_.standard_normal(n).astype(np.float32)
+            w = rng_.standard_normal(m).astype(np.float32)
+            rhs = rng_.standard_normal(n + m).astype(np.float32)
+            _, jacobian, _ = make_kkt(dims, n)
+            J = np.asarray(jacobian(*[
+                jnp.asarray(a_, jnp.float64)
+                for a_ in (x, w, P, q, A, b)
+            ]))
+            if np.linalg.cond(J) > 1e7:
+                continue  # degenerate active set; damping owns these
+            solver = make_kkt_solver(dims, n)
+            for transpose in (False, True):
+                got = np.asarray(solver(
+                    jnp.asarray(x), jnp.asarray(w), jnp.asarray(P),
+                    jnp.asarray(q), jnp.asarray(A), jnp.asarray(b),
+                    jnp.asarray(rhs), transpose=transpose,
+                ))
+                M = J.T if transpose else J
+                ref = np.linalg.solve(M, rhs.astype(np.float64))
+                err = np.abs(got - ref).max() / (1 + np.abs(ref).max())
+                assert err < 1e-4, (n, nz, nn, transpose, err)
+            checked += 1
