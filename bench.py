@@ -31,12 +31,13 @@ import numpy as np
 
 
 def _tuned_args(extra=None):
-    # tuned on v5e: ADMM to ~1e-3 (active set), f32 CG Newton polish to
-    # ~1e-7 solution accuracy
+    # tuned on v5e: ADMM to ~1e-3 (active set), then the exact
+    # Schur-path Newton polish (4 steps suffice with exact directions)
+    # to ~1e-7..1e-8 solution accuracy
     base = {
         "eps_abs": 1e-4, "eps_rel": 1e-4,
         "admm_eps_abs": 1e-3, "admm_eps_rel": 1e-3,
-        "max_iters": 75, "epoch": 75, "refine_steps": 6,
+        "max_iters": 50, "epoch": 50, "refine_steps": 4,
     }
     if extra:
         base.update(extra)
