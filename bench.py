@@ -106,7 +106,9 @@ def _build_layers(ct):
         jnp.asarray(rng.standard_normal((B, k, n)) / np.sqrt(n), dtype),
     )
     cfgs["markowitz_socp"] = (
-        soc, soc_params, _tuned_args({"max_iters": 300, "epoch": 100}), B,
+        soc, soc_params,
+        _tuned_args({"max_iters": 500, "epoch": 100,
+                     "refine_steps": 10}), B,
     )
 
     # ---- 4. exp-cone softmax layer with equality dual output
@@ -120,13 +122,13 @@ def _build_layers(ct):
     )
     B = 512
     sm_params = (jnp.asarray(rng.standard_normal((B, n)), dtype),)
-    # exp-cone problems in f32: ADMM reaches its precision floor at
-    # ~1e-2 dual residual; the (kink-escaping) Newton polish owns the
-    # accuracy, so give it headroom
+    # exp-cone problems in f32: ADMM identifies the active faces by
+    # ~300 iterations; the (kink-escaping, full-precision-CG) Newton
+    # polish owns the accuracy (512/512 solved at ~7e-7 on v5e)
     cfgs["softmax_duals"] = (
         sm, sm_params,
-        _tuned_args({"max_iters": 1000, "epoch": 100,
-                     "refine_steps": 20}), B,
+        _tuned_args({"max_iters": 300, "epoch": 100,
+                     "refine_steps": 25}), B,
     )
 
     # ---- 5. GP path (reference tests/test_torch.py:429-458 problem)

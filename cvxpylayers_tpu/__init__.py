@@ -27,6 +27,8 @@ from .expressions import (  # noqa: E402,F401
     SOC,
     Variable,
     abs,
+    bmat,
+    cumsum,
     diag,
     entr,
     exp,

@@ -133,6 +133,9 @@ class _Converter:
             return ex.trace(a[0])
         if name in ("diag", "diag_mat", "diag_vec"):
             return ex.diag(a[0])
+        if name in ("cumsum", "Cumsum"):
+            ax = getattr(node, "axis", 0)
+            return ex.cumsum(a[0], axis=0 if ax is None else int(ax))
 
         # ---- nonlinear atoms (native name parity)
         simple = {
@@ -168,6 +171,12 @@ class _Converter:
             return ex.pnorm(a[0], p)
         if name == "QuadForm":
             return ex.quad_form(a[0], a[1])
+        if name in ("MatrixFrac", "matrix_frac"):
+            return ex.matrix_frac(a[0], a[1])
+        if name == "sigma_max":
+            return ex.sigma_max(a[0])
+        if name == "log_det":
+            return ex.log_det(a[0])
         if name == "quad_over_lin":
             return ex.quad_over_lin(a[0], a[1])
         if name == "Sum_squares" or name == "sum_squares":

@@ -37,10 +37,12 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
     if settings.solve_method == "ipm":
         from ..solver.ipm import make_ipm_solver
 
+        # full polish budget: in f32 the IPM can stall ~1e-5 short near
+        # active SOC boundaries (NT scalings lose precision); the
+        # kink-escaping semismooth Newton finishes the job
         base = make_polished_solver(
             dims, n, settings,
             base=make_ipm_solver(dims, n, settings),
-            refine_steps=min(settings.refine_steps, 3),
         )
     else:
         base = make_polished_solver(dims, n, settings)

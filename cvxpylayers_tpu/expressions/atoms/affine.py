@@ -656,3 +656,76 @@ class Diag(Atom):
 
 def diag(expr) -> Expression:
     return Diag(as_expression(expr))
+
+
+def bmat(blocks) -> Expression:
+    """Block matrix from a 2-D list of blocks (cvxpy.bmat parity):
+    vstack of per-row hstacks."""
+    return vstack([hstack(row) for row in blocks])
+
+
+def cumsum(expr, axis: int = 0) -> Expression:
+    """Cumulative sum along an axis (lower-triangular selection map)."""
+    expr = as_expression(expr)
+    if expr.ndim == 1:
+        n = expr.shape[0]
+        L = sp.csr_matrix(np.tril(np.ones((n, n))))
+        return _apply_matrix(expr, L, expr.shape)
+    if expr.ndim != 2:
+        raise ValueError("cumsum supports 1-D and 2-D expressions")
+    m, n = expr.shape
+    if axis == 0:
+        # out[i, j] = sum_{k <= i} expr[k, j]; flat C-order map
+        src = np.arange(m * n)
+        rows, cols = [], []
+        for i in range(m):
+            for j in range(n):
+                for k_ in range(i + 1):
+                    rows.append(i * n + j)
+                    cols.append(k_ * n + j)
+        L = sp.csr_matrix((np.ones(len(rows)), (rows, cols)),
+                          shape=(m * n, m * n))
+        del src
+        return _apply_matrix(expr, L, (m, n))
+    if axis == 1:
+        rows, cols = [], []
+        for i in range(m):
+            for j in range(n):
+                for k_ in range(j + 1):
+                    rows.append(i * n + j)
+                    cols.append(i * n + k_)
+        L = sp.csr_matrix((np.ones(len(rows)), (rows, cols)),
+                          shape=(m * n, m * n))
+        return _apply_matrix(expr, L, (m, n))
+    raise ValueError("axis must be 0 or 1")
+
+
+class _LinearMap(Atom):
+    """Internal: fixed sparse linear map applied to the flattened arg."""
+
+    def __init__(self, expr, L, out_shape):
+        self._L = L
+        self._out_shape = tuple(out_shape)
+        super().__init__(expr)
+
+    def shape_from_args(self):
+        return self._out_shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return True
+
+    def is_incr(self, i):
+        return bool((self._L.data >= 0).all())
+
+    def is_decr(self, i):
+        return bool((self._L.data <= 0).all())
+
+    def canon(self, ctx, arg_reps):
+        return arg_reps[0].apply_linear(self._L)
+
+
+def _apply_matrix(expr, L, out_shape) -> Expression:
+    return _LinearMap(expr, L, out_shape)

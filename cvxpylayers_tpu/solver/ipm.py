@@ -32,10 +32,12 @@ The complementarity right-hand side rc is, per block,
 Design notes (TPU-first, jit/vmap-compatible):
   * fixed maximum iterations under lax.while_loop (vmap batches per
     instance convergence as usual);
-  * the dense KKT system is solved with exact LU in f64 (CPU tests)
-    and matvec-only CG on the normal equations in f32 — the same
-    dtype dispatch as the polish (solver/linsolve.py has the measured
-    motivation: XLA's batched LU is ~10x slower than matmul paths);
+  * the KKT system is solved with exact dense LU in f64 (CPU tests);
+    in f32 (TPU) it is condensed exactly — dz eliminated via the
+    blockwise T inverse, one n x n Cholesky explicit inverse of
+    S = P + sigma I + Ain' Tinv Ain, and a p x p equality Schur — all
+    MXU-shaped matmuls (XLA's batched LU is the measured slow path,
+    solver/linsolve.py);
   * step lengths: exact ratio tests for NonNeg/SOC, eigenvalue bound
     for PSD, and a fine geometric grid search on strict cone interior
     membership for Exp/Pow (branchless masked max);
@@ -67,7 +69,6 @@ from ..cones.projections import (
     sym_to_svec,
 )
 from .admm import SolveResult
-from .linsolve import _cg_normal
 from .settings import (
     DUAL_INFEASIBLE,
     MAX_ITERS,
@@ -109,16 +110,18 @@ def _block_layout(dims: ConeDims):
 _GRID = 0.930572 ** np.arange(128)
 
 
-def _grid_max_step(feasible_at):
+def _grid_max_step(feasible_at, dtype):
     """Largest grid alpha whose endpoint stays strictly interior.
 
     feasible_at: callable alpha -> bool array; evaluated on the whole
     grid at once (vmapped), masked max. Convexity makes the feasible
-    alphas an interval, so endpoint checks suffice.
+    alphas an interval, so endpoint checks suffice. The grid is cast to
+    the iterate dtype (an f64 grid would silently promote the whole
+    IPM state under jax_enable_x64).
     """
-    grid = jnp.asarray(_GRID)
+    grid = jnp.asarray(_GRID, dtype)
     ok = jax.vmap(feasible_at)(grid)
-    return jnp.max(jnp.where(ok, grid, 0.0))
+    return jnp.max(jnp.where(ok, grid, jnp.zeros((), dtype)))
 
 
 def _exp_interior(v):
@@ -295,35 +298,49 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
         return jnp.concatenate([w0[None], w1])
 
     def build_T(s, z, mu):
-        """Block-diagonal scaling T (mi x mi) with T z ~= s on the path."""
+        """Block-diagonal scaling T (mi x mi) with T z ~= s on the path,
+        plus its blockwise inverse (used by the condensed f32 KKT)."""
         dtype = s.dtype
         T = jnp.zeros((mi, mi), dtype)
+        Tinv = jnp.zeros((mi, mi), dtype)
         if l:
             idx = jnp.arange(l)
-            T = T.at[idx, idx].set(s[:l] / jnp.maximum(z[:l], _TINY))
+            ratio = s[:l] / jnp.maximum(z[:l], _TINY)
+            T = T.at[idx, idx].set(ratio)
+            Tinv = Tinv.at[idx, idx].set(1.0 / jnp.maximum(ratio, _TINY))
         for fam, off, meta in blocks:
             if fam == "soc":
                 d = meta
                 W = _soc_nt_w(s[off:off + d], z[off:off + d])
                 T = jax.lax.dynamic_update_slice(T, W @ W, (off, off))
+                Wi = jnp.linalg.inv(W)
+                Tinv = jax.lax.dynamic_update_slice(
+                    Tinv, Wi @ Wi, (off, off)
+                )
             elif fam == "psd":
                 side = meta
                 D = side * (side + 1) // 2
                 W = _psd_nt_w(s[off:off + D], z[off:off + D], side)
+                Wi = jnp.linalg.inv(W)
                 basis = jnp.eye(D, dtype=dtype)
                 Tb = jax.vmap(
                     lambda e: sym_to_svec(W @ svec_to_sym(e, side) @ W)
                 )(basis).T
+                Tbi = jax.vmap(
+                    lambda e: sym_to_svec(Wi @ svec_to_sym(e, side) @ Wi)
+                )(basis).T
                 T = jax.lax.dynamic_update_slice(T, Tb, (off, off))
-            elif fam == "exp":
-                H = exp_hess(s[off:off + 3])
-                Tb = jnp.linalg.inv(H) / jnp.maximum(mu, _TINY)
+                Tinv = jax.lax.dynamic_update_slice(Tinv, Tbi, (off, off))
+            elif fam in ("exp", "pow"):
+                H = (exp_hess(s[off:off + 3]) if fam == "exp"
+                     else pow_hess(s[off:off + 3], meta))
+                mu_s = jnp.maximum(mu, _TINY)
+                Tb = jnp.linalg.inv(H) / mu_s
                 T = jax.lax.dynamic_update_slice(T, Tb, (off, off))
-            elif fam == "pow":
-                H = pow_hess(s[off:off + 3], meta)
-                Tb = jnp.linalg.inv(H) / jnp.maximum(mu, _TINY)
-                T = jax.lax.dynamic_update_slice(T, Tb, (off, off))
-        return T
+                Tinv = jax.lax.dynamic_update_slice(
+                    Tinv, H * mu_s, (off, off)
+                )
+        return T, Tinv
 
     def rc_affine(s, z, T):
         """Affine-step complementarity RHS: s (sym) / T z (nonsym)."""
@@ -406,12 +423,16 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
             elif fam == "exp":
                 vb, db = v[off:off + 3], dv[off:off + 3]
                 member = _exp_dual_interior if dual else _exp_interior
-                alphas.append(_grid_max_step(lambda a: member(vb + a * db)))
+                alphas.append(
+                    _grid_max_step(lambda a: member(vb + a * db),
+                                   v.dtype)
+                )
             elif fam == "pow":
                 vb, db = v[off:off + 3], dv[off:off + 3]
                 member = _pow_dual_interior if dual else _pow_interior
                 alphas.append(
-                    _grid_max_step(lambda a: member(vb + a * db, meta))
+                    _grid_max_step(lambda a: member(vb + a * db, meta),
+                                   v.dtype)
                 )
         return jnp.min(jnp.stack(alphas))
 
@@ -425,7 +446,6 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
         A_in = A[p_eq:]
         b_in = b[p_eq:]
         dim = n + p_eq + mi
-        cg_iters = min(150, dim + 20)
 
         def residuals(x, y, z, s):
             rx = P @ x + q + (A_eq.T @ y if p_eq else 0.0) + (
@@ -435,31 +455,87 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
             rz = (A_in @ x + s - b_in) if mi else jnp.zeros(0, dtype)
             return rx, ry, rz
 
-        def kkt_solve(T, rx, ry, rz_mod):
+        def kkt_solve(T, Tinv, rx, ry, rz_mod):
             """Solve [[P, Aeq', Ain'], [Aeq, 0, 0], [Ain, 0, -T]] d = -r.
 
-            f64: exact dense LU. f32 (TPU): CG on the normal equations
-            with dense-matmul matvecs — the dtype dispatch measured in
-            solver/linsolve.py (batched LU is the slow path on TPU)."""
-            K = jnp.zeros((dim, dim), dtype)
-            K = K.at[:n, :n].set(P + st.sigma * jnp.eye(n, dtype=dtype))
-            if p_eq:
-                K = K.at[n:n + p_eq, :n].set(A_eq)
-                K = K.at[:n, n:n + p_eq].set(A_eq.T)
-                K = K.at[n:n + p_eq, n:n + p_eq].set(
-                    -st.sigma * jnp.eye(p_eq, dtype=dtype)
-                )
-            if mi:
-                K = K.at[n + p_eq:, :n].set(A_in)
-                K = K.at[:n, n + p_eq:].set(A_in.T)
-                K = K.at[n + p_eq:, n + p_eq:].set(-T)
-            rhs = jnp.concatenate([-rx, -ry, -rz_mod])
+            f64: exact dense LU. f32 (TPU): exact condensation —
+            eliminate dz via Tinv, Cholesky-explicit-inverse the n x n
+            S = P + sigma I + Ain' Tinv Ain (SPD, MXU-friendly), then a
+            p x p equality Schur — replacing CG on the normal equations,
+            whose squared conditioning capped IPM-f32 accuracy. The
+            full-f32 matmul precision matters here: bf16 default inputs
+            would re-floor the condensation."""
             if dtype == jnp.float64:
+                K = jnp.zeros((dim, dim), dtype)
+                K = K.at[:n, :n].set(
+                    P + st.sigma * jnp.eye(n, dtype=dtype)
+                )
+                if p_eq:
+                    K = K.at[n:n + p_eq, :n].set(A_eq)
+                    K = K.at[:n, n:n + p_eq].set(A_eq.T)
+                    K = K.at[n:n + p_eq, n:n + p_eq].set(
+                        -st.sigma * jnp.eye(p_eq, dtype=dtype)
+                    )
+                if mi:
+                    K = K.at[n + p_eq:, :n].set(A_in)
+                    K = K.at[:n, n + p_eq:].set(A_in.T)
+                    K = K.at[n + p_eq:, n + p_eq:].set(-T)
+                rhs = jnp.concatenate([-rx, -ry, -rz_mod])
                 sol = jnp.linalg.solve(K, rhs)
-            else:
-                sol = _cg_normal(lambda v_: K @ v_, lambda v_: K.T @ v_,
-                                 rhs, cg_iters)
-            return sol[:n], sol[n:n + p_eq], sol[n + p_eq:]
+                return sol[:n], sol[n:n + p_eq], sol[n + p_eq:]
+
+            with jax.default_matmul_precision("highest"):
+                if mi:
+                    TiA = Tinv @ A_in
+                    S = (P + st.sigma * jnp.eye(n, dtype=dtype)
+                         + A_in.T @ TiA)
+                else:
+                    S = P + st.sigma * jnp.eye(n, dtype=dtype)
+                Ls = jnp.linalg.cholesky(S)
+                eye_n = jnp.eye(n, dtype=dtype)
+                Lsi = jax.scipy.linalg.solve_triangular(
+                    Ls, eye_n, lower=True
+                )
+                Sinv = Lsi.T @ Lsi
+                if p_eq:
+                    E = (A_eq @ (Sinv @ A_eq.T)
+                         + st.sigma * jnp.eye(p_eq, dtype=dtype))
+                    Le = jnp.linalg.cholesky(E)
+
+                def solve_cond(rx_, ry_, rz_):
+                    """One condensed solve of K d = [-rx_, -ry_, -rz_]."""
+                    g = -rx_ - (A_in.T @ (Tinv @ rz_)
+                                if mi else 0.0)
+                    if p_eq:
+                        rhs_y = A_eq @ (Sinv @ g) + ry_
+                        z1 = jax.scipy.linalg.solve_triangular(
+                            Le, rhs_y, lower=True
+                        )
+                        dy_ = jax.scipy.linalg.solve_triangular(
+                            Le, z1, lower=True, trans=1
+                        )
+                        dx_ = Sinv @ (g - A_eq.T @ dy_)
+                    else:
+                        dy_ = jnp.zeros(0, dtype)
+                        dx_ = Sinv @ g
+                    dz_ = (Tinv @ (A_in @ dx_ + rz_) if mi
+                           else jnp.zeros(0, dtype))
+                    return dx_, dy_, dz_
+
+                dx, dy, dz = solve_cond(rx, ry, rz_mod)
+                # one iterative-refinement pass with the cached factors:
+                # near an active SOC boundary T spans mu..1/mu and a
+                # single f32 condensation stalls ~1e-5 short; the
+                # correction squares the effective precision
+                res_x = rx + (P + st.sigma * jnp.eye(n, dtype=dtype)) @ dx \
+                    + (A_eq.T @ dy if p_eq else 0.0) \
+                    + (A_in.T @ dz if mi else 0.0)
+                res_y = (ry + A_eq @ dx - st.sigma * dy
+                         if p_eq else jnp.zeros(0, dtype))
+                res_z = (rz_mod + A_in @ dx - T @ dz
+                         if mi else jnp.zeros(0, dtype))
+                cx, cy, cz = solve_cond(res_x, res_y, res_z)
+                return dx + cx, dy + cy, dz + cz
 
         # ---- initial point: least-squares KKT solve with identity
         # scaling, then per-block shift into the cone interior
@@ -505,7 +581,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
             return out
 
         I_mi = jnp.eye(mi, dtype=dtype)
-        x, y, z_hat = kkt_solve(I_mi, q, -b_eq, -b_in)
+        x, y, z_hat = kkt_solve(I_mi, I_mi, q, -b_eq, -b_in)
         s = _shift_into_cone(-z_hat, e)
         z = _shift_into_cone(z_hat, zint)
 
@@ -550,12 +626,12 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
         def body(state):
             x, y, z, s, it, status = state
             mu = jnp.maximum(s @ z / degree, _TINY)
-            T = build_T(s, z, mu)
+            T, Tinv = build_T(s, z, mu)
             rx, ry, rz = residuals(x, y, z, s)
 
             # ---- affine (predictor) step
             rc_a = rc_affine(s, z, T)
-            dx_a, dy_a, dz_a = kkt_solve(T, rx, ry, rz - rc_a)
+            dx_a, dy_a, dz_a = kkt_solve(T, Tinv, rx, ry, rz - rc_a)
             ds_a = -(rc_a + T @ dz_a)
             alpha_aff = jnp.minimum(step_len(s, ds_a, False),
                                     step_len(z, dz_a, True))
@@ -566,7 +642,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
 
             # ---- corrector (centering + Mehrotra second order)
             rc_c = rc_combined(s, z, T, mu, sigma_c, ds_a, dz_a)
-            dx, dy, dz = kkt_solve(T, rx, ry, rz - rc_c)
+            dx, dy, dz = kkt_solve(T, Tinv, rx, ry, rz - rc_c)
             ds = -(rc_c + T @ dz)
 
             a_p = step_len(s, ds, False)

@@ -172,8 +172,14 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40):
         def solve_once(r):
             if polyhedral:
                 return solve_polyhedral(x, w, P, q, A, b, r, transpose)
+            # general cones: run the CG matvecs at full f32 — the
+            # normal equations square the conditioning, and bf16
+            # matvec noise was observed to pin exp-cone polishes at
+            # ~1e-3 on TPU; these problems are matvec-latency-bound,
+            # so the 3-pass f32 matmul costs little
             a, aT = (mvT, mv) if transpose else (mv, mvT)
-            return _cg_normal(a, aT, r, cg_iters)
+            with jax.default_matmul_precision("highest"):
+                return _cg_normal(a, aT, r, cg_iters)
 
         sol = solve_once(rhs)
         if iter_refine:

@@ -165,3 +165,47 @@ class TestLogDet:
                 e = jnp.zeros((s, s)).at[i, j].set(eps)
                 fd = (float(loss(Sv + e)) - float(loss(Sv - e))) / (2 * eps)
                 np.testing.assert_allclose(float(g[i, j]), fd, atol=1e-3)
+
+
+class TestBmatCumsum:
+    def test_bmat_values(self):
+        # lambda_max of a bmat must match numpy block assembly
+        a = ct.Parameter((2, 2))
+        expr = ct.bmat([[a, ct.Constant(np.zeros((2, 2)))],
+                        [ct.Constant(np.zeros((2, 2))), 2.0 * a]])
+        t = ct.Variable(())
+        prob = ct.Problem(ct.Minimize(t), [ct.lambda_max(expr) <= t])
+        layer = CvxpyLayer(prob, parameters=[a], variables=[t])
+        av = rng.standard_normal((2, 2))
+        av = (av + av.T) / 2
+        (ts,) = layer(jnp.asarray(av))
+        M = np.block([[av, np.zeros((2, 2))], [np.zeros((2, 2)), 2 * av]])
+        np.testing.assert_allclose(
+            float(ts), np.linalg.eigvalsh(M)[-1], atol=1e-6
+        )
+
+    def test_cumsum_1d(self):
+        n = 5
+        v = ct.Parameter(n)
+        x = ct.Variable(n)
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - ct.cumsum(v))))
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        vv = rng.standard_normal(n)
+        (xs,) = layer(jnp.asarray(vv))
+        np.testing.assert_allclose(np.asarray(xs), np.cumsum(vv),
+                                   atol=1e-7)
+
+    def test_cumsum_2d_axes(self):
+        m, n = 3, 4
+        v = ct.Parameter((m, n))
+        vv = rng.standard_normal((m, n))
+        for axis in (0, 1):
+            x = ct.Variable((m, n))
+            prob = ct.Problem(
+                ct.Minimize(ct.sum_squares(x - ct.cumsum(v, axis=axis)))
+            )
+            layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+            (xs,) = layer(jnp.asarray(vv))
+            np.testing.assert_allclose(
+                np.asarray(xs), np.cumsum(vv, axis=axis), atol=1e-7
+            )

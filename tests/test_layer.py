@@ -422,3 +422,64 @@ class TestSOCPLayer:
 
         g = jax.grad(lambda m_: jnp.sum(layer(m_)[0] ** 2))(muv)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestInputContracts:
+    def test_mixed_dtype_inputs_promote(self):
+        # f32 + f64 parameters promote; outputs follow the promoted dtype
+        n = 4
+        x = ct.Variable(n)
+        a = ct.Parameter(n)
+        b = ct.Parameter(n)
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - a - b)))
+        layer = CvxpyLayer(prob, parameters=[a, b], variables=[x])
+        av = jnp.asarray(np.ones(n), jnp.float32)
+        bv = jnp.asarray(np.ones(n), jnp.float64)
+        (xs,) = layer(av, bv)
+        assert xs.dtype == jnp.float64
+        np.testing.assert_allclose(np.asarray(xs), 2 * np.ones(n),
+                                   atol=1e-7)
+        (xs32,) = layer(av, bv.astype(jnp.float32))
+        assert xs32.dtype == jnp.float32
+
+    def test_batch_shape_error_breadth(self):
+        # reference error-path breadth (tests/test_torch.py:251-352)
+        n = 3
+        x = ct.Variable(n)
+        a = ct.Parameter(n)
+        M = ct.Parameter((n, n))
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(M @ x - a)))
+        layer = CvxpyLayer(prob, parameters=[a, M], variables=[x])
+        ok_a = jnp.zeros(n)
+        ok_M = jnp.eye(n)
+        # wrong core shape
+        with pytest.raises(ValueError, match="expects shape"):
+            layer(jnp.zeros(n + 1), ok_M)
+        # too many leading dims
+        with pytest.raises(ValueError, match="expects shape"):
+            layer(jnp.zeros((2, 2, n)), ok_M)
+        # inconsistent batch sizes across parameters
+        with pytest.raises(ValueError, match="inconsistent batch"):
+            layer(jnp.zeros((2, n)), jnp.zeros((3, n, n)))
+        # batched matrix whose trailing dims are wrong
+        with pytest.raises(ValueError, match="expects shape"):
+            layer(ok_a, jnp.zeros((2, n, n + 1)))
+        # batch size 1 is preserved, not squeezed
+        (xs,) = layer(jnp.zeros((1, n)), jnp.eye(n)[None])
+        assert xs.shape == (1, n)
+
+    def test_iteration_count_regression_guard(self):
+        # algorithmic canary: the canonical simplex projection must
+        # converge in one epoch of ADMM + polish (catches solver
+        # regressions that would silently melt the bench)
+        n = 8
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(x - v)), [ct.sum(x) == 1, x >= 0]
+        )
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        vv = jnp.asarray(np.linspace(-1, 1, n))
+        _, st, it = layer.solve_with_info(vv)
+        assert int(st) == 0
+        assert int(it) <= 75, int(it)

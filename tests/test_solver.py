@@ -590,3 +590,53 @@ class TestPolyhedralKKTFastPath:
                 err = np.abs(got - ref).max() / (1 + np.abs(ref).max())
                 assert err < 1e-4, (n, nz, nn, transpose, err)
             checked += 1
+
+
+class TestIpmF32:
+    def test_condensed_kkt_exp_cone_f32(self):
+        # f32 IPM with the condensed-Cholesky KKT solves exp-cone
+        # problems to ~1e-7 (TPU-representative precision path)
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        n = 16
+        y = ct.Variable(n, nonneg=True)
+        c = ct.Parameter(n)
+        sm = CvxpyLayer(
+            ct.Problem(ct.Maximize(c @ y + ct.sum(ct.entr(y))),
+                       [ct.sum(y) == 1]),
+            parameters=[c], variables=[y],
+        )
+        cv = jnp.asarray(rng.standard_normal((4, n)), jnp.float32)
+        outs, st, it = sm.solve_with_info(
+            cv, solver_args={"solve_method": "ipm", "eps_abs": 1e-5,
+                             "eps_rel": 1e-5, "refine_steps": 10},
+        )
+        assert (np.asarray(st) == 0).all()
+        ref = np.exp(np.asarray(cv, np.float64))
+        ref /= ref.sum(axis=1, keepdims=True)
+        err = np.abs(np.asarray(outs[0], np.float64) - ref).max()
+        assert err < 1e-5, err
+
+    def test_box_qp_f32(self):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        n = 10
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        layer = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.sum_squares(x - v)),
+                       [x >= 0, x <= 1]),
+            parameters=[v], variables=[x],
+        )
+        vv = jnp.asarray(rng.standard_normal(n) * 2, jnp.float32)
+        outs, st, it = layer.solve_with_info(
+            vv, solver_args={"solve_method": "ipm", "eps_abs": 1e-5,
+                             "eps_rel": 1e-5},
+        )
+        assert int(st) == 0
+        np.testing.assert_allclose(
+            np.asarray(outs[0], np.float64),
+            np.clip(np.asarray(vv, np.float64), 0, 1), atol=1e-5,
+        )
