@@ -156,9 +156,10 @@ def _build_layers(ct):
     return cfgs
 
 
-def _measure(layer, params, sargs, B, iters=5):
+def _measure(layer, params, sargs, B, iters=5, check_solved=False):
     import jax
     import jax.numpy as jnp
+    import numpy as _np
 
     def loss(*ps):
         outs = layer(*ps, solver_args=sargs)
@@ -172,7 +173,14 @@ def _measure(layer, params, sargs, B, iters=5):
         g = step(*params)
     jax.block_until_ready(g)
     dt = (time.perf_counter() - t0) / iters
-    return B / dt
+    thr = B / dt
+    if not check_solved:
+        return thr
+    # transparency: fraction of instances whose post-polish status is
+    # SOLVED at the config's eps (one extra solve per config)
+    _, st, _ = layer.solve_with_info(*params, solver_args=sargs)
+    frac = float((_np.asarray(st) == 0).mean())
+    return thr, frac
 
 
 def cpu_baseline():
@@ -233,12 +241,17 @@ def main():
 
     cfgs = _build_layers(ct)
     results = {}
+    solved = {}
     for name, (layer, params, sargs, B) in cfgs.items():
         try:
-            results[name] = round(_measure(layer, params, sargs, B), 2)
+            thr, frac = _measure(layer, params, sargs, B,
+                                 check_solved=True)
+            results[name] = round(thr, 2)
+            solved[name] = round(frac, 4)
         except Exception as e:  # keep the bench alive per-config
             results[name] = f"error: {type(e).__name__}: {e}"[:200]
-        print(f"# {name}: {results[name]}", file=sys.stderr, flush=True)
+        print(f"# {name}: {results[name]} (solved {solved.get(name)})",
+              file=sys.stderr, flush=True)
 
     # single-instance LAD latency (config 1's literal form)
     lad, lad_params, sargs, _ = cfgs["lad"]
@@ -273,6 +286,7 @@ def main():
             headline / denom if isinstance(headline, float) else 0.0, 3
         ),
         "configs": results,
+        "solved_fraction": solved,
         "cpu_baseline": cpu,
     }))
 

@@ -83,7 +83,9 @@ def solve_bucketed(items: Sequence[Tuple[CvxpyLayer, tuple]],
                    solver_args: Optional[dict] = None,
                    mesh: Optional[Mesh] = None,
                    axis_name: str = "data",
-                   pad_multiple: Optional[int] = None) -> List[tuple]:
+                   pad_multiple: Optional[int] = None,
+                   warm_start: Optional[dict] = None,
+                   return_state: bool = False):
     """Solve a heterogeneous list of (layer, params) items.
 
     Each item is one layer plus its parameter tensors (unbatched, or
@@ -92,6 +94,11 @@ def solve_bucketed(items: Sequence[Tuple[CvxpyLayer, tuple]],
     (batch padded to `pad_multiple`, default the mesh size), and
     returned as a list of per-item output tuples in input order,
     with each item's own batchedness preserved.
+
+    Warm starts: pass `return_state=True` to also receive a per-bucket
+    state dict (a pytree of traced arrays — jit-safe), and feed it back
+    via `warm_start=` on the next call with the same bucket structure;
+    mismatched buckets fall back to cold starts.
     """
     if pad_multiple is None:
         pad_multiple = int(np.prod(mesh.devices.shape)) if mesh else 1
@@ -105,6 +112,7 @@ def solve_bucketed(items: Sequence[Tuple[CvxpyLayer, tuple]],
         buckets.setdefault(key, []).append((idx, layer, batch, P, q, A, b))
 
     results: List[Optional[tuple]] = [None] * len(items)
+    states: Dict[Tuple, tuple] = {}
     for key, entries in buckets.items():
         dims, n, settings = key
         m = dims.total
@@ -130,14 +138,28 @@ def solve_bucketed(items: Sequence[Tuple[CvxpyLayer, tuple]],
 
             P, q, A, b = cons(P), cons(q), cons(A), cons(b)
         dtype = q.dtype
-        zeros = (
+        init = (
             jnp.zeros((Bp, n), dtype),
             jnp.zeros((Bp, m), dtype),
             jnp.zeros((Bp, m), dtype),
         )
+        if warm_start is not None and key in warm_start:
+            wx, wy, wsl = warm_start[key]
+            if tuple(wx.shape) == (Bp, n):
+                init = (
+                    jnp.asarray(wx, dtype),
+                    jnp.asarray(wy, dtype),
+                    jnp.asarray(wsl, dtype),
+                )
         x, y, s, status, iters = _shared_core(dims, n, settings)(
-            P, q, A, b, *zeros
+            P, q, A, b, *init
         )
+        if return_state:
+            states[key] = (
+                jax.lax.stop_gradient(x),
+                jax.lax.stop_gradient(y),
+                jax.lax.stop_gradient(s),
+            )
         # scatter back per item, dropping padding
         off = 0
         for idx, layer, batch, *_ in entries:
@@ -149,4 +171,6 @@ def solve_bucketed(items: Sequence[Tuple[CvxpyLayer, tuple]],
                 outs = tuple(o[0] for o in outs)
             results[idx] = outs
             off += Bi
+    if return_state:
+        return results, states
     return results

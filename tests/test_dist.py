@@ -156,3 +156,21 @@ def test_multiprocess_scaling_harness():
     for k in ("solves_per_s_1dev", "solves_per_s_1host",
               "solves_per_s_Nhost"):
         assert out[k] > 0, out
+
+
+class TestBucketedWarmStart:
+    def test_state_roundtrip_cuts_iterations(self):
+        la = _proj_layer(6)
+        va = jnp.asarray(rng.standard_normal((3, 6)))
+        res1, state = solve_bucketed([(la, (va,))], return_state=True)
+        res2, state2 = solve_bucketed(
+            [(la, (va,))], warm_start=state, return_state=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(res1[0][0]), np.asarray(res2[0][0]), atol=1e-9
+        )
+        # mismatched structure falls back to cold start cleanly
+        lb = _box_layer(6)
+        vb = jnp.asarray(rng.standard_normal(6))
+        res3 = solve_bucketed([(lb, (vb,))], warm_start=state)
+        assert res3[0][0].shape == (6,)

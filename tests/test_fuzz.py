@@ -122,3 +122,55 @@ def test_logistic_layer_gradients_fd():
         num = (float(f(Xy + eps * D)) - float(f(Xy - eps * D))) / (2 * eps)
         ana = float(jnp.sum(g * D))
         assert abs(ana - num) < 2e-4 * (1 + abs(num)), (ana, num)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_random_socp_vs_slsqp(trial):
+    # max mu'w s.t. ||F w|| <= s, sum w == 1, w >= 0  (Markowitz shape)
+    n = int(rng.integers(4, 9))
+    k = int(rng.integers(2, 5))
+    mu = rng.standard_normal(n) * 0.2
+    F = rng.standard_normal((k, n)) / np.sqrt(n)
+    smax = 0.4
+    w = ct.Variable(n, nonneg=True)
+    mup = ct.Parameter(n)
+    Fp = ct.Parameter((k, n))
+    prob = ct.Problem(
+        ct.Maximize(mup @ w),
+        [ct.norm(Fp @ w, 2) <= smax, ct.sum(w) == 1],
+    )
+    layer = CvxpyLayer(prob, parameters=[mup, Fp], variables=[w])
+    (ws,) = layer(jnp.asarray(mu), jnp.asarray(F))
+    res = scipy.optimize.minimize(
+        lambda z: -mu @ z, np.ones(n) / n, jac=lambda z: -mu,
+        constraints=[
+            {"type": "eq", "fun": lambda z: z.sum() - 1,
+             "jac": lambda z: np.ones(n)},
+            {"type": "ineq", "fun": lambda z: smax**2 - np.sum((F @ z)**2),
+             "jac": lambda z: -2 * F.T @ (F @ z)},
+        ],
+        bounds=[(0, None)] * n, method="SLSQP",
+        options={"ftol": 1e-14, "maxiter": 2000},
+    )
+    got = float(mu @ np.asarray(ws))
+    assert got >= -res.fun - 1e-6, (got, -res.fun)
+    assert np.linalg.norm(F @ np.asarray(ws)) <= smax + 1e-7
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_random_sdp_min_eig(trial):
+    # min tr(CX), tr(X) = 1, X >> 0 -> smallest eigenvalue of C
+    s = int(rng.integers(2, 5))
+    C = rng.standard_normal((s, s))
+    C = (C + C.T) / 2
+    X = ct.Variable((s, s), symmetric=True)
+    Cp = ct.Parameter((s, s))
+    prob = ct.Problem(
+        ct.Minimize(ct.trace(Cp @ X)), [ct.trace(X) == 1, ct.PSD(X)]
+    )
+    layer = CvxpyLayer(prob, parameters=[Cp], variables=[X])
+    (Xs,) = layer(jnp.asarray(C))
+    np.testing.assert_allclose(
+        float(np.trace(C @ np.asarray(Xs))),
+        np.linalg.eigvalsh(C)[0], atol=1e-6,
+    )
