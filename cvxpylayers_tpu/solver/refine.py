@@ -29,10 +29,11 @@ _DAMPINGS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
 _ESCAPE_STEP = 0.05
 
 
-def make_refiner(dims: ConeDims, n: int, steps: int):
+def make_refiner(dims: ConeDims, n: int, steps: int,
+                 schur_iters: int = 0):
     m = dims.total
     residual, jacobian, split = make_kkt(dims, n)
-    kkt_solve = make_kkt_solver(dims, n)
+    kkt_solve = make_kkt_solver(dims, n, schur_iters=schur_iters)
 
     def refine(x, y, s, P, q, A, b):
         if steps <= 0:
@@ -123,6 +124,7 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
     refine = make_refiner(
         dims, n,
         settings.refine_steps if refine_steps is None else refine_steps,
+        schur_iters=settings.schur_iters,
     )
     residual, _, _ = make_kkt(dims, n)
 
