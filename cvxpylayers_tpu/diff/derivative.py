@@ -47,7 +47,7 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
     else:
         base = make_polished_solver(dims, n, settings)
     _, jacobian, _ = make_kkt(dims, n)
-    kkt_solve = make_kkt_solver(dims, n,
+    kkt_solve = make_kkt_solver(dims, n, cg_iters=settings.cg_iters,
                                 schur_iters=settings.schur_iters)
 
     def _forward(P, q, A, b, x0, y0, s0):

@@ -24,8 +24,10 @@ def _canon_shape(shape) -> Tuple[int, ...]:
     if isinstance(shape, (int, np.integer)):
         return (int(shape),)
     shape = tuple(int(s) for s in shape)
-    if len(shape) > 2:
-        raise ValueError(f"shapes beyond 2-D are not supported, got {shape}")
+    # N-D (>2) leaves are supported for the elementwise/sum/reshape/
+    # indexing surface (everything canonicalizes over flattened reps);
+    # matrix-structured atoms (matmul, trace, PSD, ...) validate their
+    # own 2-D requirements.
     return shape
 
 
@@ -139,8 +141,6 @@ class Constant(Expression):
 
     def __init__(self, value):
         v = np.asarray(value, dtype=np.float64)
-        if v.ndim > 2:
-            raise ValueError("constants beyond 2-D are not supported")
         self._value = v
         self.shape = v.shape
 

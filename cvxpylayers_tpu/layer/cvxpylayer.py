@@ -75,6 +75,7 @@ _SOLVER_ARG_KEYS = {
     "max_iters": ("max_iters", "ipm_max_iters"),
     "ipm_max_iters": ("ipm_max_iters",),
     "schur_iters": ("schur_iters",),
+    "cg_iters": ("cg_iters",),
     "epoch": ("epoch",),
     "rho": ("rho",),
     "sigma": ("sigma",),

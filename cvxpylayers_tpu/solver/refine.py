@@ -30,10 +30,11 @@ _ESCAPE_STEP = 0.05
 
 
 def make_refiner(dims: ConeDims, n: int, steps: int,
-                 schur_iters: int = 0):
+                 schur_iters: int = 0, cg_iters: int = 40):
     m = dims.total
     residual, jacobian, split = make_kkt(dims, n)
-    kkt_solve = make_kkt_solver(dims, n, schur_iters=schur_iters)
+    kkt_solve = make_kkt_solver(dims, n, cg_iters=cg_iters,
+                                schur_iters=schur_iters)
 
     def refine(x, y, s, P, q, A, b):
         if steps <= 0:
@@ -125,6 +126,7 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
         dims, n,
         settings.refine_steps if refine_steps is None else refine_steps,
         schur_iters=settings.schur_iters,
+        cg_iters=settings.cg_iters,
     )
     residual, _, _ = make_kkt(dims, n)
 

@@ -39,6 +39,9 @@ class SolverSettings:
     ipm_max_iters: int = 100     # IPM iteration cap (IPM iters are ~100x an
     # ADMM iter, so it gets its own knob; solver_args {"max_iters": k}
     # lowers both so user intent is honored on either path)
+    cg_iters: int = 40           # CG budget for the f32 general-cone
+    # KKT solve (normal equations; conditioning is squared, so this
+    # needs more iterations than schur_iters)
     schur_iters: int = 0         # CG budget for the f32 polyhedral Schur
     # KKT solve; 0 = auto (the Schur system's effective dimension is the
     # active-set size and its conditioning is unsquared, so ~15

@@ -209,3 +209,53 @@ class TestBmatCumsum:
             np.testing.assert_allclose(
                 np.asarray(xs), np.cumsum(vv, axis=axis), atol=1e-7
             )
+
+
+class TestNDExpressions:
+    """N-D (>2) leaves: elementwise atoms, sum, reshape, indexing,
+    batching, and gradients all canonicalize over flattened reps
+    (round-1 gap; matrix-structured atoms still validate 2-D)."""
+
+    def test_3d_projection(self):
+        x = ct.Variable((2, 3, 4))
+        v = ct.Parameter((2, 3, 4))
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - v)), [x >= 0])
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        vv = rng.standard_normal((2, 3, 4))
+        (xs,) = layer(jnp.asarray(vv))
+        assert xs.shape == (2, 3, 4)
+        np.testing.assert_allclose(
+            np.asarray(xs), np.maximum(vv, 0), atol=1e-7
+        )
+
+    def test_3d_index_reshape_batch_grad(self):
+        y = ct.Variable((2, 2, 2))
+        w = ct.Parameter((2, 2, 2))
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(
+                ct.reshape(y, (8,)) - ct.reshape(w, (8,))
+            )),
+            [y[0] >= 0],
+        )
+        layer = CvxpyLayer(prob, parameters=[w], variables=[y])
+        wv = rng.standard_normal((2, 2, 2))
+        (ys,) = layer(jnp.asarray(wv))
+        ref = wv.copy()
+        ref[0] = np.maximum(ref[0], 0)
+        np.testing.assert_allclose(np.asarray(ys), ref, atol=1e-7)
+        # batched N-D params -> batched N-D outputs
+        (ysb,) = layer(jnp.asarray(np.stack([wv, wv + 1.0])))
+        assert ysb.shape == (2, 2, 2, 2)
+        g = jax.grad(lambda w_: jnp.sum(layer(w_)[0] ** 2))(
+            jnp.asarray(wv)
+        )
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_matrix_atoms_still_require_2d(self):
+        x3 = ct.Variable((2, 2, 2))
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            ct.trace(x3)
+        with _pytest.raises(Exception):
+            ct.lambda_max(x3)
