@@ -28,7 +28,9 @@ from .expressions import (  # noqa: E402,F401
     Variable,
     abs,
     bmat,
+    conv,
     cumsum,
+    kron,
     diag,
     entr,
     exp,

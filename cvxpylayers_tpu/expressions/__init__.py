@@ -15,7 +15,9 @@ from .leaf import Constant, Parameter, Variable
 from .problem import Maximize, Minimize, Problem
 from .atoms.affine import (
     bmat,
+    conv,
     cumsum,
+    kron,
     diag,
     hstack,
     multiply,
@@ -60,7 +62,7 @@ from .atoms.nonlinear import (
 __all__ = [
     "Constraint", "Equality", "ExpCone", "Inequality", "NonNeg", "PowCone3D",
     "PSD", "SOC", "Curvature", "Expression", "Sign", "Constant", "Parameter",
-    "Variable", "Maximize", "Minimize", "Problem", "bmat", "cumsum", "diag", "hstack",
+    "Variable", "Maximize", "Minimize", "Problem", "bmat", "conv", "cumsum", "kron", "diag", "hstack",
     "multiply", "reshape", "sum", "trace", "vstack", "abs", "entr", "exp",
     "geo_mean", "huber", "inv_pos", "kl_div", "lambda_max", "lambda_min",
     "log", "log_det", "log_sum_exp", "logistic", "max", "maximum", "min", "minimum",

@@ -729,3 +729,50 @@ class _LinearMap(Atom):
 
 def _apply_matrix(expr, L, out_shape) -> Expression:
     return _LinearMap(expr, L, out_shape)
+
+
+def conv(c, expr) -> Expression:
+    """1-D discrete convolution with a CONSTANT kernel c (cvxpy.conv
+    parity): output length n + len(c) - 1, linear in expr."""
+    c = np.asarray(as_expression(c).value
+                   if hasattr(as_expression(c), "value") else c,
+                   dtype=np.float64).reshape(-1)
+    expr = as_expression(expr)
+    if expr.ndim != 1:
+        raise ValueError("conv expects a 1-D expression")
+    n = expr.shape[0]
+    k_ = c.size
+    m_out = n + k_ - 1
+    rows, cols, vals = [], [], []
+    for i in range(m_out):
+        for j in range(max(0, i - k_ + 1), min(n, i + 1)):
+            rows.append(i)
+            cols.append(j)
+            vals.append(c[i - j])
+    L = sp.csr_matrix((vals, (rows, cols)), shape=(m_out, n))
+    return _apply_matrix(expr, L, (m_out,))
+
+
+def kron(C, expr) -> Expression:
+    """Kronecker product with a CONSTANT left factor C (cvxpy.kron
+    parity for the constant-left case): linear in expr."""
+    C = np.asarray(C.value if hasattr(C, "value") else C, dtype=np.float64)
+    expr = as_expression(expr)
+    if C.ndim != 2 or expr.ndim != 2:
+        raise ValueError("kron expects 2-D factors")
+    p_, q_ = C.shape
+    m_, n_ = expr.shape
+    # out[(i*m_ + k), (j*n_ + l)] = C[i, j] * X[k, l]; flat C-order map
+    rows, cols, vals = [], [], []
+    for i in range(p_):
+        for j in range(q_):
+            if C[i, j] == 0.0:
+                continue
+            for k_ in range(m_):
+                for l_ in range(n_):
+                    rows.append((i * m_ + k_) * (q_ * n_) + (j * n_ + l_))
+                    cols.append(k_ * n_ + l_)
+                    vals.append(C[i, j])
+    L = sp.csr_matrix((vals, (rows, cols)),
+                      shape=(p_ * m_ * q_ * n_, m_ * n_))
+    return _apply_matrix(expr, L, (p_ * m_, q_ * n_))

@@ -259,3 +259,31 @@ class TestNDExpressions:
             ct.trace(x3)
         with _pytest.raises(Exception):
             ct.lambda_max(x3)
+
+
+class TestConvKron:
+    def test_conv_matches_numpy(self):
+        n = 6
+        c = np.array([1.0, -2.0, 0.5])
+        v = ct.Parameter(n)
+        x = ct.Variable(n + c.size - 1)
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - ct.conv(c, v))))
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        vv = rng.standard_normal(n)
+        (xs,) = layer(jnp.asarray(vv))
+        np.testing.assert_allclose(np.asarray(xs), np.convolve(c, vv),
+                                   atol=1e-8)
+
+    def test_kron_matches_numpy(self):
+        C = np.array([[1.0, 2.0], [0.0, -1.0]])
+        X = ct.Variable((2, 2))
+        W = ct.Parameter((2, 2))
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(ct.reshape(
+                ct.kron(C, X) - ct.kron(C, W), (16,)
+            )))
+        )
+        layer = CvxpyLayer(prob, parameters=[W], variables=[X])
+        Wv = rng.standard_normal((2, 2))
+        (Xs,) = layer(jnp.asarray(Wv))
+        np.testing.assert_allclose(np.asarray(Xs), Wv, atol=1e-6)
