@@ -493,6 +493,13 @@ class Hstack(Atom):
     def is_incr(self, i):
         return True
 
+    def sign(self):
+        if all(a.is_nonneg() for a in self.args):
+            return Sign.NONNEG
+        if all(a.is_nonpos() for a in self.args):
+            return Sign.NONPOS
+        return Sign.UNKNOWN
+
     def canon(self, ctx, arg_reps):
         total = self.size
         out = None
@@ -776,3 +783,144 @@ def kron(C, expr) -> Expression:
     L = sp.csr_matrix((vals, (rows, cols)),
                       shape=(p_ * m_ * q_ * n_, m_ * n_))
     return _apply_matrix(expr, L, (p_ * m_, q_ * n_))
+
+
+def vec(expr, order: str = "F") -> Expression:
+    """Flatten a matrix to a vector (cvxpy.vec parity; default
+    column-major 'F' like cvxpy)."""
+    expr = as_expression(expr)
+    if expr.ndim <= 1:
+        return reshape(expr, (expr.size,))
+    if order not in ("F", "C"):
+        raise ValueError("vec order must be 'F' or 'C'")
+    if order == "C":
+        return reshape(expr, (expr.size,))
+    # internal flat layout is C-order; emit the F-order permutation
+    src = np.arange(expr.size).reshape(expr.shape).reshape(-1, order="F")
+    return _apply_matrix(
+        expr, _selection_matrix(src, expr.size), (expr.size,)
+    )
+
+
+def upper_tri(expr) -> Expression:
+    """Strictly-upper-triangular entries as a vector, row-major
+    (cvxpy.upper_tri parity)."""
+    expr = as_expression(expr)
+    if expr.ndim != 2 or expr.shape[0] != expr.shape[1]:
+        raise ValueError("upper_tri needs a square matrix")
+    n = expr.shape[0]
+    idx = [i * n + j for i in range(n) for j in range(i + 1, n)]
+    d = len(idx)
+    return _apply_matrix(
+        expr, _selection_matrix(np.asarray(idx), expr.size), (d,)
+    )
+
+
+def diff(expr, k: int = 1) -> Expression:
+    """k-th order forward differences of a vector (cvxpy.diff parity
+    for the 1-D case)."""
+    expr = as_expression(expr)
+    if expr.ndim != 1:
+        raise ValueError("diff expects a 1-D expression")
+    n = expr.shape[0]
+    if not (isinstance(k, int) and 1 <= k < n):
+        raise ValueError("diff needs integer 1 <= k < n")
+    L = sp.eye(n, format="csr")
+    m_ = n
+    for _ in range(k):
+        D = sp.csr_matrix(
+            (
+                np.concatenate([-np.ones(m_ - 1), np.ones(m_ - 1)]),
+                (
+                    np.concatenate([np.arange(m_ - 1), np.arange(m_ - 1)]),
+                    np.concatenate([np.arange(m_ - 1), np.arange(1, m_)]),
+                ),
+            ),
+            shape=(m_ - 1, m_),
+        )
+        L = D @ L
+        m_ -= 1
+    return _apply_matrix(expr, L, (n - k,))
+
+
+def outer(x, y) -> Expression:
+    """Outer product x y^T with a CONSTANT y (linear in x); cvxpy.outer
+    parity for the constant-right case."""
+    x = as_expression(x)
+    y = np.asarray(y.value if hasattr(y, "value") else y,
+                   dtype=np.float64).reshape(-1)
+    if x.ndim != 1:
+        raise ValueError("outer expects a 1-D left argument")
+    n, m_ = x.shape[0], y.size
+    # out[i*m_ + j] = y[j] * x[i]
+    rows = np.arange(n * m_)
+    cols = rows // m_
+    vals = np.tile(y, n)
+    L = sp.csr_matrix((vals, (rows, cols)), shape=(n * m_, n))
+    return _apply_matrix(x, L, (n, m_))
+
+
+def _pt_maps(dims, axis):
+    dims = tuple(int(d) for d in dims)
+    if axis < 0 or axis >= len(dims):
+        raise ValueError("partial_trace/transpose axis out of range")
+    N = int(np.prod(dims))
+    return dims, N
+
+
+def partial_trace(expr, dims, axis: int = 0) -> Expression:
+    """Partial trace over subsystem `axis` of a matrix on a tensor-product
+    space with subsystem dimensions `dims` (cvxpy.partial_trace parity)."""
+    expr = as_expression(expr)
+    dims, N = _pt_maps(dims, axis)
+    if expr.shape != (N, N):
+        raise ValueError(f"partial_trace needs a ({N}, {N}) matrix")
+    keep = [d for i, d in enumerate(dims) if i != axis]
+    M = int(np.prod(keep)) if keep else 1
+    # index helpers: full index <-> (sub indices)
+    strides = np.cumprod([1] + list(dims[::-1]))[::-1][1:]  # row-major strides
+
+    def full_index(sub):
+        return int(np.dot(sub, strides))
+
+    rows, cols, vals = [], [], []
+    out_sub_shapes = keep if keep else [1]
+    for out_r in range(M):
+        for out_c in range(M):
+            r_sub = list(np.unravel_index(out_r, out_sub_shapes))
+            c_sub = list(np.unravel_index(out_c, out_sub_shapes))
+            for t in range(dims[axis]):
+                rr = r_sub.copy()
+                cc = c_sub.copy()
+                rr.insert(axis, t)
+                cc.insert(axis, t)
+                rows.append(out_r * M + out_c)
+                cols.append(full_index(rr) * N + full_index(cc))
+                vals.append(1.0)
+    L = sp.csr_matrix((vals, (rows, cols)), shape=(M * M, N * N))
+    return _apply_matrix(expr, L, (M, M))
+
+
+def partial_transpose(expr, dims, axis: int = 0) -> Expression:
+    """Partial transpose over subsystem `axis` (cvxpy.partial_transpose
+    parity)."""
+    expr = as_expression(expr)
+    dims, N = _pt_maps(dims, axis)
+    if expr.shape != (N, N):
+        raise ValueError(f"partial_transpose needs a ({N}, {N}) matrix")
+    strides = np.cumprod([1] + list(dims[::-1]))[::-1][1:]
+
+    def full_index(sub):
+        return int(np.dot(sub, strides))
+
+    rows, cols, vals = [], [], []
+    for r in range(N):
+        for c in range(N):
+            r_sub = list(np.unravel_index(r, dims))
+            c_sub = list(np.unravel_index(c, dims))
+            r_sub[axis], c_sub[axis] = c_sub[axis], r_sub[axis]
+            rows.append(r * N + c)
+            cols.append(full_index(r_sub) * N + full_index(c_sub))
+            vals.append(1.0)
+    L = sp.csr_matrix((vals, (rows, cols)), shape=(N * N, N * N))
+    return _apply_matrix(expr, L, (N, N))

@@ -556,9 +556,28 @@ class NormInf(Atom):
 
 def norm(expr, p=2) -> Expression:
     expr = as_expression(expr)
+    if p == "fro":
+        return Norm2(expr)
+    if p == "nuc":
+        from .structured import NormNuc
+
+        return NormNuc(expr)
+    if expr.ndim == 2:
+        # cvxpy matrix-norm semantics: induced norms for p in {1, 2, inf}
+        from .affine import Sum
+
+        if p in (2, "2"):
+            return SigmaMax(expr)
+        if p in (1, "1"):
+            # max abs column sum
+            return MaxEntries(Sum(Abs(expr), axis=0))
+        if p in (np.inf, "inf"):
+            # max abs row sum
+            return MaxEntries(Sum(Abs(expr), axis=1))
+        raise ValueError(f"unsupported matrix norm order {p}")
     if p in (1, "1"):
         return Norm1(expr)
-    if p in (2, "2", "fro"):
+    if p in (2, "2"):
         return Norm2(expr)
     if p in (np.inf, "inf"):
         return NormInf(expr)

@@ -142,11 +142,14 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
         if rhs.dtype == jnp.float64:
             J = jacobian(x, w, P, q, A, b)
             M = J.T if transpose else J
-            if regularized:
+
+            def _reg_lstsq(_=None):
                 # Tikhonov-regularized least squares: robust when strict
                 # complementarity fails and J is numerically singular
-                # (weakly active constraints make the generalized Jacobian
-                # rank-deficient)
+                # (weakly active constraints, or degenerate epigraph aux
+                # like sum_largest's t-interval, make the generalized
+                # Jacobian rank-deficient) — the same convention as
+                # diffcp's LSQR adjoint for non-invertible KKT systems
                 MtM = M.T @ M
                 dim = MtM.shape[0]
                 eps_r = 1e-12 * (jnp.trace(MtM) / dim + 1.0)
@@ -158,7 +161,18 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
                 return jax.scipy.linalg.solve_triangular(
                     L, z_, lower=True, trans=1
                 )
-            return jnp.linalg.solve(M, rhs)
+
+            if regularized:
+                return _reg_lstsq()
+            sol = jnp.linalg.solve(M, rhs)
+            # singular J -> LU yields NaN/garbage; detect via finiteness +
+            # true residual and fall back to the damped least squares
+            sol_ok = jnp.where(jnp.isfinite(sol), sol, 0.0)
+            resid = jnp.linalg.norm(M @ sol_ok - rhs)
+            good = jnp.all(jnp.isfinite(sol)) & (
+                resid <= 1e-6 * (jnp.linalg.norm(rhs) + 1.0)
+            )
+            return jax.lax.cond(good, lambda _: sol_ok, _reg_lstsq, None)
 
         def mv(v):
             v1, v2 = v[:n], v[n:]
