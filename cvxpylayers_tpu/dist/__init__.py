@@ -14,6 +14,9 @@ framework's headline new component:
   harness.py   — scaling measurement harness, runnable in multi-process
                  CPU mode on one machine (N processes x K virtual
                  devices) and on real multi-host TPU pods unchanged
+  scheduler.py — persistent bucket scheduler: queue + capacity-class
+                 rounding (pad_multiple * 2^k, high-water mark) +
+                 cross-step warm-start carry + occupancy stats
 """
 
 from .runtime import (  # noqa: F401
@@ -24,3 +27,4 @@ from .runtime import (  # noqa: F401
     make_host_mesh,
 )
 from .bucketing import bucket_plan, solve_bucketed  # noqa: F401
+from .scheduler import BucketScheduler  # noqa: F401

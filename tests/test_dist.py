@@ -174,3 +174,88 @@ class TestBucketedWarmStart:
         vb = jnp.asarray(rng.standard_normal(6))
         res3 = solve_bucketed([(lb, (vb,))], warm_start=state)
         assert res3[0][0].shape == (6,)
+
+
+class TestBucketScheduler:
+    def test_step_matches_direct(self):
+        from cvxpylayers_tpu.dist import BucketScheduler
+
+        la = _proj_layer(5)
+        lb = _box_layer(5)
+        va = jnp.asarray(rng.standard_normal((3, 5)))
+        vb = jnp.asarray(rng.standard_normal(5))
+        sched = BucketScheduler()
+        res = sched.step([(la, (va,)), (lb, (vb,))])
+        (xa_ref,) = la(va)
+        (xb_ref,) = lb(vb)
+        np.testing.assert_allclose(np.asarray(res[0][0]),
+                                   np.asarray(xa_ref), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(res[1][0]),
+                                   np.asarray(xb_ref), atol=1e-8)
+        assert res[0][0].shape == (3, 5)
+        assert res[1][0].shape == (5,)
+
+    def test_capacity_classes_bound_recompiles(self):
+        from cvxpylayers_tpu.dist import BucketScheduler
+
+        la = _proj_layer(4)
+        sched = BucketScheduler(pad_multiple=2)
+        # batches 3 -> cap 4; 4 -> fits; 2 -> high-water keeps 4; 6 -> 8
+        for B, want_cap in [(3, 4), (4, 4), (2, 4), (6, 8), (5, 8)]:
+            v = jnp.asarray(rng.standard_normal((B, 4)))
+            (out,) = sched.step([(la, (v,))])[0]
+            assert out.shape == (B, 4)
+            (st,) = sched.stats().values()
+            assert st["capacity"] == want_cap, (B, st)
+        (st,) = sched.stats().values()
+        assert st["compiles"] == 2  # capacities {4, 8} only
+        assert st["flushes"] == 5
+
+    def test_warm_start_carries_across_steps(self):
+        from cvxpylayers_tpu.dist import BucketScheduler
+
+        la = _proj_layer(6)
+        v = jnp.asarray(rng.standard_normal((4, 6)))
+        sched = BucketScheduler()
+        sched.step([(la, (v,))])
+        (key, st1) = next(iter(sched._buckets.items()))
+        it1 = int(np.max(np.asarray(st1.last_iters)))
+        # same data again: warm start should cut iterations
+        sched.step([(la, (v,))])
+        it2 = int(np.max(np.asarray(st1.last_iters)))
+        assert it2 < it1, (it1, it2)
+
+    def test_warm_start_invalidated_on_composition_change(self):
+        from cvxpylayers_tpu.dist import BucketScheduler
+
+        la = _proj_layer(6)
+        lb = _proj_layer(6)  # same structure, different layer object
+        v = jnp.asarray(rng.standard_normal((4, 6)))
+        w = jnp.asarray(rng.standard_normal((4, 6)))
+        sched = BucketScheduler()
+        r1 = sched.step([(la, (v,))])
+        # different composition: (la, lb) share the bucket now; results
+        # must still be correct (cold start, no stale-row reuse)
+        r2 = sched.step([(la, (v,)), (lb, (w,))])
+        np.testing.assert_allclose(np.asarray(r2[0][0]),
+                                   np.asarray(r1[0][0]), atol=1e-8)
+        (xb_ref,) = lb(w)
+        np.testing.assert_allclose(np.asarray(r2[1][0]),
+                                   np.asarray(xb_ref), atol=1e-8)
+
+    def test_grad_through_scheduler(self):
+        from cvxpylayers_tpu.dist import BucketScheduler
+
+        la = _proj_layer(5)
+        v = jnp.asarray(rng.standard_normal(5))
+        sched = BucketScheduler(warm_start=False)
+
+        def f(p):
+            return (sched.step([(la, (p,))])[0][0] ** 2).sum()
+
+        g = jax.grad(f)(v)
+        eps = 1e-6
+        for i in range(3):
+            e = jnp.zeros(5).at[i].set(eps)
+            fd = (f(v + e) - f(v - e)) / (2 * eps)
+            assert abs(float(g[i]) - float(fd)) < 1e-4
