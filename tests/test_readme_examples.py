@@ -80,3 +80,29 @@ def test_example_constrained_lqr(capsys):
     runpy.run_path(str(REPO / "examples" / "constrained_lqr.py"),
                    run_name="__main__")
     assert "lqr closed-loop cost" in capsys.readouterr().out
+
+
+def test_example_monotonic_regression(capsys):
+    runpy.run_path(str(REPO / "examples" / "monotonic_regression.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "PAVA oracle" in out and "final loss" in out
+
+
+def test_example_relu_qp_layer(capsys):
+    runpy.run_path(str(REPO / "examples" / "relu_qp_layer.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "closed form" in out
+
+
+def test_example_markowitz_tuning(capsys):
+    runpy.run_path(str(REPO / "examples" / "markowitz_tuning.py"),
+                   run_name="__main__")
+    assert "backtest return" in capsys.readouterr().out
+
+
+def test_example_resource_allocation(capsys):
+    runpy.run_path(str(REPO / "examples" / "resource_allocation.py"),
+                   run_name="__main__")
+    assert "final fit loss" in capsys.readouterr().out
