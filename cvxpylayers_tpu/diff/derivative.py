@@ -30,9 +30,14 @@ from ..solver.refine import make_polished_solver
 from ..solver.settings import SolverSettings
 
 
-def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
+def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings,
+                     p_diag_full: bool = True):
     """Returns solve(P, q, A, b, x0, y0, s0) -> (x, y, s, status, iters)
-    with implicit-diff gradients w.r.t. (P, q, A, b)."""
+    with implicit-diff gradients w.r.t. (P, q, A, b).
+
+    p_diag_full: static flag — True iff P's diagonal is structurally
+    complete (every variable column carries curvature); routes the f32
+    KKT solves between the exact Schur split and CG-normal (kkt.py)."""
     m = dims.total
     if settings.solve_method == "ipm":
         from ..solver.ipm import make_ipm_solver
@@ -43,12 +48,15 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings):
         base = make_polished_solver(
             dims, n, settings,
             base=make_ipm_solver(dims, n, settings),
+            p_diag_full=p_diag_full,
         )
     else:
-        base = make_polished_solver(dims, n, settings)
+        base = make_polished_solver(dims, n, settings,
+                                    p_diag_full=p_diag_full)
     _, jacobian, _ = make_kkt(dims, n)
     kkt_solve = make_kkt_solver(dims, n, cg_iters=settings.cg_iters,
-                                schur_iters=settings.schur_iters)
+                                schur_iters=settings.schur_iters,
+                                p_diag_full=p_diag_full)
 
     def _forward(P, q, A, b, x0, y0, s0):
         res = base(P, q, A, b, x0, y0, s0)

@@ -38,10 +38,11 @@ from ..solver.settings import SolverSettings
 _EXEC_CACHE: Dict[Tuple, object] = {}
 
 
-def _shared_core(dims, n, settings: SolverSettings):
-    key = (dims, n, settings)
+def _shared_core(dims, n, settings: SolverSettings, p_diag_full=True):
+    key = (dims, n, settings, p_diag_full)
     if key not in _EXEC_CACHE:
-        solver = make_diff_solver(dims, n, settings)
+        solver = make_diff_solver(dims, n, settings,
+                                  p_diag_full=p_diag_full)
         _EXEC_CACHE[key] = jax.jit(
             jax.vmap(lambda P_, q_, A_, b_, x0, y0, s0:
                      solver(P_, q_, A_, b_, x0, y0, s0))
@@ -50,8 +51,9 @@ def _shared_core(dims, n, settings: SolverSettings):
 
 
 def structure_key(layer: CvxpyLayer, settings: SolverSettings):
-    """The bucket key: everything the compiled solve specializes on."""
-    return (layer.prog.dims, layer.prog.n, settings)
+    """The bucket key: everything the compiled solve specializes on
+    (incl. the static P-diagonal flag that picks the f32 KKT route)."""
+    return (layer.prog.dims, layer.prog.n, settings, layer._p_diag_full)
 
 
 def _assemble_batch(layer: CvxpyLayer, params):
@@ -114,7 +116,7 @@ def solve_bucketed(items: Sequence[Tuple[CvxpyLayer, tuple]],
     results: List[Optional[tuple]] = [None] * len(items)
     states: Dict[Tuple, tuple] = {}
     for key, entries in buckets.items():
-        dims, n, settings = key
+        dims, n, settings, p_diag_full = key
         m = dims.total
         P = jnp.concatenate([e[3] for e in entries])
         q = jnp.concatenate([e[4] for e in entries])
@@ -151,9 +153,9 @@ def solve_bucketed(items: Sequence[Tuple[CvxpyLayer, tuple]],
                     jnp.asarray(wy, dtype),
                     jnp.asarray(wsl, dtype),
                 )
-        x, y, s, status, iters = _shared_core(dims, n, settings)(
-            P, q, A, b, *init
-        )
+        x, y, s, status, iters = _shared_core(
+            dims, n, settings, p_diag_full
+        )(P, q, A, b, *init)
         if return_state:
             states[key] = (
                 jax.lax.stop_gradient(x),

@@ -127,7 +127,7 @@ class BucketScheduler:
         self._queue = []
 
         for key, tickets in by_key.items():
-            dims, n, settings = key
+            dims, n, settings, p_diag_full = key
             m = dims.total
             st = self._buckets.setdefault(key, _BucketState())
 
@@ -170,9 +170,9 @@ class BucketScheduler:
             ):
                 init = tuple(jnp.asarray(wv, dtype) for wv in st.warm)
 
-            x, y, s, status, iters = _shared_core(dims, n, settings)(
-                P, q, A, b, *init
-            )
+            x, y, s, status, iters = _shared_core(
+                dims, n, settings, p_diag_full
+            )(P, q, A, b, *init)
             if self.warm_start:
                 st.warm = (
                     jax.lax.stop_gradient(x),

@@ -279,6 +279,15 @@ class CvxpyLayer:
         self._P_rows = jnp.asarray(p.P_rows)
         self._P_cols = jnp.asarray(p.P_cols)
         self._apply_P = _make_map_applier(p.reduced_P)
+        # static: does every variable column carry structural curvature?
+        # (decides the f32 KKT route — Schur split needs a full P diag;
+        # LPs and epigraph-aux columns without curvature go to CG-normal)
+        diag_mask = np.asarray(p.P_rows) == np.asarray(p.P_cols)
+        self._p_diag_full = bool(
+            p.P_rows.size
+            and len(set(np.asarray(p.P_rows)[diag_mask].tolist()))
+            == p.n
+        )
         self._solvers: Dict[SolverSettings, object] = {}
         self._cores: Dict[SolverSettings, object] = {}
         self._warm: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
@@ -292,7 +301,8 @@ class CvxpyLayer:
     def _solver(self, settings: SolverSettings):
         if settings not in self._solvers:
             self._solvers[settings] = make_diff_solver(
-                self.prog.dims, self.prog.n, settings
+                self.prog.dims, self.prog.n, settings,
+                p_diag_full=self._p_diag_full,
             )
         return self._solvers[settings]
 

@@ -30,11 +30,13 @@ _ESCAPE_STEP = 0.05
 
 
 def make_refiner(dims: ConeDims, n: int, steps: int,
-                 schur_iters: int = 0, cg_iters: int = 40):
+                 schur_iters: int = 0, cg_iters: int = 40,
+                 p_diag_full: bool = True):
     m = dims.total
     residual, jacobian, split = make_kkt(dims, n)
     kkt_solve = make_kkt_solver(dims, n, cg_iters=cg_iters,
-                                schur_iters=schur_iters)
+                                schur_iters=schur_iters,
+                                p_diag_full=p_diag_full)
 
     def refine(x, y, s, P, q, A, b):
         if steps <= 0:
@@ -106,7 +108,7 @@ def make_refiner(dims: ConeDims, n: int, steps: int,
 
 
 def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
-                         refine_steps=None):
+                         refine_steps=None, p_diag_full: bool = True):
     """base solver + Newton polish, returning a SolveResult (the standard
     forward entry point; diff/derivative.py wraps it with the implicit VJP).
 
@@ -127,6 +129,7 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
         settings.refine_steps if refine_steps is None else refine_steps,
         schur_iters=settings.schur_iters,
         cg_iters=settings.cg_iters,
+        p_diag_full=p_diag_full,
     )
     residual, _, _ = make_kkt(dims, n)
 
