@@ -155,9 +155,43 @@ class Dgp2Dcp:
         if isinstance(e, nl.Minimum):
             return nl.minimum(*[self.transform(x) for x in a])
         if isinstance(e, nl.MaxEntries):
-            return nl.max(self.transform(a[0]))
+            return nl.max(self.transform(a[0]), axis=e.axis,
+                          keepdims=e.keepdims)
         if isinstance(e, nl.MinEntries):
-            return nl.min(self.transform(a[0]))
+            return nl.min(self.transform(a[0]), axis=e.axis,
+                          keepdims=e.keepdims)
+        if isinstance(e, gpat.Prod):
+            return aff.Sum(self.transform(a[0]))
+        if isinstance(e, gpat.GMatMul):
+            return Constant(e.A) @ self.transform(a[0])
+        if isinstance(e, gpat.OneMinusPos):
+            return gpat.LogOneMinusExp(self.transform(a[0]))
+        if isinstance(e, gpat.PfEigenvalue):
+            return gpat.LogPfEig(self.transform(a[0]))
+        if isinstance(e, gpat.EyeMinusInv):
+            return gpat.LogEyeMinusInv(self.transform(a[0]))
+        if isinstance(e, nl.XExp):
+            # log(x e^x) = log x + x = t + e^t (log-log convex)
+            t = self.transform(a[0])
+            return t + nl.exp(t)
+        if isinstance(e, nl.Exp):
+            # log(e^x) = x = e^t (log-log convex)
+            return nl.exp(self.transform(a[0]))
+        if isinstance(e, nl.Log):
+            # log(log x) = log t on t > 0, i.e. x > 1 (log-log concave)
+            return nl.log(self.transform(a[0]))
+        if isinstance(e, nl.QuadOverLin):
+            # log(sum x_i^2 / y) = LSE(2 t_x) - t_y (log-log convex)
+            tx = self.transform(a[0])
+            ty = self.transform(a[1])
+            return nl.log_sum_exp(2.0 * tx) - ty
+        if isinstance(e, nl.Norm2):
+            return 0.5 * nl.log_sum_exp(2.0 * self.transform(a[0]))
+        if isinstance(e, nl.PnormGeneral):
+            p = float(e.p)
+            if p <= 0:
+                raise DgpError("pnorm under gp=True needs p > 0")
+            return (1.0 / p) * nl.log_sum_exp(p * self.transform(a[0]))
         if isinstance(e, nl.GeoMean):
             t = self.transform(a[0])
             n = a[0].size

@@ -414,6 +414,37 @@ class Transpose(Atom):
         return None if v is None else v.T
 
 
+def reduction_out_index(shape, axis) -> np.ndarray:
+    """Flat (C-order) output index for each flat input index under a
+    reduction over `axis` (None = reduce everything). Shared by Sum and the
+    axis-aware max/min epigraphs."""
+    n_in = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    if axis is None or not shape:
+        return np.zeros(n_in, dtype=np.int64)
+    ax = axis % len(shape)
+    grid = np.indices(shape)
+    kept = [g for d, g in enumerate(grid) if d != ax]
+    if not kept:
+        return np.zeros(n_in, dtype=np.int64)
+    out_shape_nk = tuple(s for d, s in enumerate(shape) if d != ax)
+    flat = np.zeros_like(kept[0])
+    stride = 1
+    for d in range(len(out_shape_nk) - 1, -1, -1):
+        flat = flat + kept[d] * stride
+        stride *= out_shape_nk[d]
+    return flat.reshape(-1)
+
+
+def reduction_expand_matrix(shape, axis, n_out) -> sp.csr_matrix:
+    """(n_in, n_out) 0/1 matrix broadcasting a reduced tensor back over
+    `axis` of `shape` (the adjoint pattern of reduction_out_index)."""
+    n_in = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    out_idx = reduction_out_index(shape, axis)
+    return sp.csr_matrix(
+        (np.ones(n_in), (np.arange(n_in), out_idx)), shape=(n_in, n_out)
+    )
+
+
 class Sum(Atom):
     def __init__(self, expr, axis=None, keepdims=False):
         self.axis = axis
@@ -440,28 +471,10 @@ class Sum(Atom):
 
     def canon(self, ctx, arg_reps):
         n_in = self.args[0].size
-        idx = np.arange(n_in).reshape(self.args[0].shape)
-        # group input flat indices by output flat index
-        out_idx = np.zeros(self.args[0].shape, dtype=np.int64)
-        if self.axis is not None:
-            grid = np.indices(self.args[0].shape)
-            kept = [
-                g for d, g in enumerate(grid)
-                if d != (self.axis % len(self.args[0].shape))
-            ]
-            if kept:
-                flat = np.zeros_like(kept[0])
-                out_shape_nk = tuple(
-                    s for d, s in enumerate(self.args[0].shape)
-                    if d != (self.axis % len(self.args[0].shape))
-                )
-                stride = 1
-                for d in range(len(out_shape_nk) - 1, -1, -1):
-                    flat = flat + kept[d] * stride
-                    stride *= out_shape_nk[d]
-                out_idx = flat
         L = sp.csr_matrix(
-            (np.ones(n_in), (out_idx.reshape(-1), idx.reshape(-1))),
+            (np.ones(n_in),
+             (reduction_out_index(self.args[0].shape, self.axis),
+              np.arange(n_in))),
             shape=(self.size, n_in),
         )
         return arg_reps[0].apply_linear(L)
@@ -476,6 +489,16 @@ class Sum(Atom):
 
 def sum(expr, axis=None, keepdims=False) -> Expression:  # noqa: A001
     return Sum(as_expression(expr), axis=axis, keepdims=keepdims)
+
+
+def mean(expr, axis=None, keepdims=False) -> Expression:
+    """Arithmetic mean over all entries or along an axis (affine)."""
+    expr = as_expression(expr)
+    if axis is None:
+        k = expr.size
+    else:
+        k = expr.shape[axis % len(expr.shape)]
+    return Sum(expr, axis=axis, keepdims=keepdims) * (1.0 / k)
 
 
 class Hstack(Atom):

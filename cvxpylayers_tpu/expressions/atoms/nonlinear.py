@@ -740,10 +740,18 @@ def _const_matmul(F, x):
 
 
 class MaxEntries(Atom):
-    """max over all entries (scalar)."""
+    """max over all entries, or along an axis (cvxpy max(x, axis=...))."""
+
+    def __init__(self, expr, axis=None, keepdims=False):
+        self.axis = axis
+        self.keepdims = bool(keepdims)
+        super().__init__(expr)
 
     def shape_from_args(self):
-        return ()
+        probe = np.zeros(self.args[0].shape, dtype=np.int8).max(
+            axis=self.axis, keepdims=self.keepdims
+        )
+        return probe.shape
 
     def is_atom_convex(self):
         return True
@@ -755,17 +763,33 @@ class MaxEntries(Atom):
         return True
 
     def canon(self, ctx, arg_reps):
+        from .affine import reduction_expand_matrix
+
         x = arg_reps[0]
-        n = x.n_rows
-        t = _aux(ctx, 1)
-        t_full = t.apply_linear(sp.csr_matrix(np.ones((n, 1))))
-        ctx.add_nonneg(t_full + x.neg())
+        t = _aux(ctx, self.size)
+        L = reduction_expand_matrix(self.args[0].shape, self.axis, self.size)
+        ctx.add_nonneg(t.apply_linear(L) + x.neg())
         return t
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        if v is None:
+            return None
+        return np.max(v, axis=self.axis, keepdims=self.keepdims)
 
 
 class MinEntries(Atom):
+    def __init__(self, expr, axis=None, keepdims=False):
+        self.axis = axis
+        self.keepdims = bool(keepdims)
+        super().__init__(expr)
+
     def shape_from_args(self):
-        return ()
+        probe = np.zeros(self.args[0].shape, dtype=np.int8).min(
+            axis=self.axis, keepdims=self.keepdims
+        )
+        return probe.shape
 
     def is_atom_convex(self):
         return False
@@ -777,20 +801,28 @@ class MinEntries(Atom):
         return True
 
     def canon(self, ctx, arg_reps):
+        from .affine import reduction_expand_matrix
+
         x = arg_reps[0]
-        n = x.n_rows
-        t = _aux(ctx, 1)
-        t_full = t.apply_linear(sp.csr_matrix(np.ones((n, 1))))
-        ctx.add_nonneg(x + t_full.neg())
+        t = _aux(ctx, self.size)
+        L = reduction_expand_matrix(self.args[0].shape, self.axis, self.size)
+        ctx.add_nonneg(x + t.apply_linear(L).neg())
         return t
 
+    @property
+    def value(self):
+        v = self.args[0].value
+        if v is None:
+            return None
+        return np.min(v, axis=self.axis, keepdims=self.keepdims)
 
-def max(expr):  # noqa: A001
-    return MaxEntries(as_expression(expr))
+
+def max(expr, axis=None, keepdims=False):  # noqa: A001
+    return MaxEntries(as_expression(expr), axis=axis, keepdims=keepdims)
 
 
-def min(expr):  # noqa: A001
-    return MinEntries(as_expression(expr))
+def min(expr, axis=None, keepdims=False):  # noqa: A001
+    return MinEntries(as_expression(expr), axis=axis, keepdims=keepdims)
 
 
 class Maximum(Atom):
@@ -1206,6 +1238,149 @@ class LogDet(Atom):
         t = _aux(ctx, n)
         ctx.add_exp(t, _const_rep(n, 1.0), d)
         return t.apply_linear(sp.csr_matrix(np.ones((1, n))))
+
+
+class XExp(Atom):
+    """x * e^x elementwise, convex increasing on the domain x >= 0
+    (cvxpy's xexp atom; the reference reaches it through cvxpy).
+
+    Graph: t >= x e^x on x >= 0 iff exists s with s >= x^2 and
+    (s, x, t) in Kexp (x e^{s/x} <= t) — tight at s = x^2."""
+
+    def shape_from_args(self):
+        return self.args[0].shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return True
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        n = x.n_rows
+        t = _aux(ctx, n)
+        s = _aux(ctx, n)
+        one = _const_rep(n, 1.0)
+        ctx.add_soc_elem([s + one, x.scale(2.0), s.neg() + one])  # s >= x^2
+        ctx.add_exp(s, x, t)  # x e^{s/x} <= t
+        ctx.add_nonneg(x)     # domain
+        return t
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        return None if v is None else v * np.exp(v)
+
+
+class TrInv(Atom):
+    """trace(X^{-1}) for X symmetric positive definite (cvxpy's tr_inv).
+
+    Graph: tr(X^{-1}) <= t iff exists Y with [[X, I], [I, Y]] >> 0 and
+    trace(Y) <= t (Schur complement: Y >> X^{-1})."""
+
+    def shape_from_args(self):
+        s = self.args[0].shape
+        if len(s) != 2 or s[0] != s[1]:
+            raise ValueError("tr_inv needs a square matrix")
+        return ()
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        X = arg_reps[0]
+        n = self.args[0].shape[0]
+        N = 2 * n
+        Y = _aux(ctx, n * n)
+        src = np.arange(n * n)
+        i, j = src // n, src % n
+        SX = sp.csr_matrix(
+            (np.ones(n * n), (i * N + j, src)), shape=(N * N, n * n)
+        )
+        SY = sp.csr_matrix(
+            (np.ones(n * n), ((n + i) * N + (n + j), src)),
+            shape=(N * N, n * n),
+        )
+        # constant identity in the off-diagonal blocks
+        const = np.zeros(N * N)
+        k = np.arange(n)
+        const[k * N + (n + k)] = 1.0
+        const[(n + k) * N + k] = 1.0
+        flat = (
+            X.apply_linear(SX)
+            + Y.apply_linear(SY)
+            + TensorRep.constant(const)
+        )
+        ctx.add_psd(flat, N)
+        tr_row = sp.csr_matrix(
+            (np.ones(n), (np.zeros(n, dtype=int), k * n + k)),
+            shape=(1, n * n),
+        )
+        return Y.apply_linear(tr_row)
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        return None if v is None else float(np.trace(np.linalg.inv(v)))
+
+
+def xexp(expr) -> Expression:
+    return XExp(as_expression(expr))
+
+
+def tr_inv(expr) -> Expression:
+    return TrInv(as_expression(expr))
+
+
+def log1p(expr) -> Expression:
+    """log(1 + x) elementwise (concave increasing; cvxpy's log1p)."""
+    return Log(as_expression(expr) + 1.0)
+
+
+def scalene(expr, alpha, beta) -> Expression:
+    """alpha * pos(x) + beta * neg(x) — the tilted absolute loss
+    (cvxpy's scalene)."""
+    expr = as_expression(expr)
+    return float(alpha) * Pos(expr) + float(beta) * Pos(-expr)
+
+
+def std(expr, ddof=0) -> Expression:
+    """Standard deviation over all entries: ||x - mean(x)||_2 /
+    sqrt(n - ddof) (convex; cvxpy's std)."""
+    from .affine import mean, vec
+
+    expr = as_expression(expr)
+    n = expr.size
+    if n - ddof <= 0:
+        raise ValueError("std needs size > ddof")
+    centered = vec(expr) - mean(expr)
+    return pnorm(centered, 2) * (1.0 / np.sqrt(n - ddof))
+
+
+def var(expr, ddof=0) -> Expression:
+    """Variance over all entries: sum_squares(x - mean(x)) / (n - ddof)
+    (convex)."""
+    from .affine import mean, vec
+
+    expr = as_expression(expr)
+    n = expr.size
+    if n - ddof <= 0:
+        raise ValueError("var needs size > ddof")
+    centered = vec(expr) - mean(expr)
+    return sum_squares(centered) * (1.0 / (n - ddof))
 
 
 def matrix_frac(x, P) -> Expression:

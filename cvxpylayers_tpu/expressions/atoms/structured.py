@@ -387,3 +387,65 @@ def mixed_norm(X, p=2, q=1) -> Expression:
         return Norm1(reshape(X, (m * n,)))
     rows = [_norm(X[i, :], p) for i in range(m)]
     return _norm(hstack(rows), q)
+
+
+class CumMax(Atom):
+    """Cumulative maximum along an axis (cvxpy's cummax; convex,
+    nondecreasing in the argument).
+
+    Graph: the feasible set {t : t >= x, t nondecreasing along axis} has
+    least element cummax(x), so replacing the atom by t under DCP use is
+    exact (the same chain formulation cvxpy's cummax canon uses)."""
+
+    def __init__(self, expr, axis: int = 0):
+        self.axis = int(axis)
+        super().__init__(expr)
+
+    def shape_from_args(self):
+        s = self.args[0].shape
+        if not s:
+            raise ValueError("cummax needs at least a vector")
+        if not (-len(s) <= self.axis < len(s)):
+            raise ValueError("cummax axis out of range")
+        return s
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return True
+
+    def canon(self, ctx, arg_reps):
+        x = arg_reps[0]
+        shape = self.args[0].shape
+        ax = self.axis % len(shape)
+        n = x.n_rows
+        t = _aux(ctx, n)
+        ctx.add_nonneg(t + x.neg())  # t >= x
+        # chain t[..., k, ...] >= t[..., k-1, ...] along ax
+        idx = np.arange(n).reshape(shape)
+        cur = np.moveaxis(idx, ax, 0)
+        later = cur[1:].reshape(-1)
+        earlier = cur[:-1].reshape(-1)
+        m = later.size
+        if m:
+            rows = np.concatenate([np.arange(m), np.arange(m)])
+            cols = np.concatenate([later, earlier])
+            vals = np.concatenate([np.ones(m), -np.ones(m)])
+            D = sp.csr_matrix((vals, (rows, cols)), shape=(m, n))
+            ctx.add_nonneg(t.apply_linear(D))
+        return t
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        if v is None:
+            return None
+        return np.maximum.accumulate(v, axis=self.axis)
+
+
+def cummax(expr, axis: int = 0) -> Expression:
+    return CumMax(as_expression(expr), axis=axis)

@@ -1,0 +1,175 @@
+"""Round-2 scalar/elementwise atom batch: log1p, xexp, scalene, std/var/
+mean, cummax, axis-aware max/min, tr_inv, and the approximation atoms
+log_normcdf / loggamma — oracle-tested against numpy/scipy closed forms
+like the rest of the atom library (cvxpylayers SURVEY section 4 test
+strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import gammaln
+from scipy.stats import norm as spnorm
+
+import cvxpylayers_tpu as ct
+from cvxpylayers_tpu import CvxpyLayer
+
+rng = np.random.default_rng(7)
+
+
+def pinned_value(f, p_val, shape=None):
+    """min t s.t. x == p, f(x) <= t — evaluates a convex expression at a
+    pinned point through the full canon+solve pipeline."""
+    shape = shape if shape is not None else np.shape(p_val)
+    x = ct.Variable(shape)
+    p = ct.Parameter(shape)
+    t = ct.Variable()
+    prob = ct.Problem(ct.Minimize(t), [x == p, f(x) <= t])
+    layer = CvxpyLayer(prob, parameters=[p], variables=[x, t])
+    _, ts = layer(jnp.asarray(p_val))
+    return float(ts)
+
+
+class TestCompositions:
+    def test_log1p(self):
+        pv = np.array([0.5, 1.0, 2.0])
+        got = pinned_value(lambda x: -ct.sum(ct.log1p(x)), pv)
+        np.testing.assert_allclose(got, -np.sum(np.log1p(pv)), atol=1e-6)
+
+    def test_scalene(self):
+        pv = np.array([-1.0, 2.0, -3.0, 4.0])
+        got = pinned_value(lambda x: ct.sum(ct.scalene(x, 2.0, 0.5)), pv)
+        want = np.sum(2.0 * np.maximum(pv, 0) + 0.5 * np.maximum(-pv, 0))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_std_var_mean(self):
+        pv = rng.standard_normal(6)
+        np.testing.assert_allclose(
+            pinned_value(lambda x: ct.std(x), pv), np.std(pv), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            pinned_value(lambda x: ct.std(x, ddof=1), pv),
+            np.std(pv, ddof=1), atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            pinned_value(lambda x: ct.var(x, ddof=1), pv),
+            np.var(pv, ddof=1), atol=1e-6,
+        )
+        # mean is affine: both directions
+        np.testing.assert_allclose(
+            pinned_value(lambda x: ct.mean(x), pv), np.mean(pv), atol=1e-6
+        )
+
+    def test_std_matrix_input(self):
+        pv = rng.standard_normal((3, 4))
+        got = pinned_value(lambda x: ct.std(x), pv)
+        np.testing.assert_allclose(got, np.std(pv), atol=1e-6)
+
+
+class TestXExp:
+    def test_pinned(self):
+        pv = np.array([0.2, 1.0, 2.5])
+        got = pinned_value(lambda x: ct.sum(ct.xexp(x)), pv)
+        np.testing.assert_allclose(got, np.sum(pv * np.exp(pv)), atol=1e-5)
+
+    def test_unconstrained_optimum(self):
+        # min xexp(x) - c x  =>  (x+1) e^x = c
+        c = ct.Parameter()
+        x = ct.Variable()
+        prob = ct.Problem(ct.Minimize(ct.xexp(x) - ct.multiply(c, x)))
+        layer = CvxpyLayer(prob, parameters=[c], variables=[x])
+        cv = 7.0
+        (xs,) = layer(jnp.asarray(cv))
+        xv = float(xs)
+        np.testing.assert_allclose((xv + 1) * np.exp(xv), cv, rtol=1e-5)
+
+    def test_gradcheck_fd(self):
+        c = ct.Parameter()
+        x = ct.Variable()
+        prob = ct.Problem(ct.Minimize(ct.xexp(x) - ct.multiply(c, x)))
+        layer = CvxpyLayer(prob, parameters=[c], variables=[x])
+
+        def loss(cv):
+            return layer(cv)[0]
+
+        cv = jnp.asarray(5.0)
+        g = jax.grad(loss)(cv)
+        eps = 1e-5
+        fd = (float(loss(cv + eps)) - float(loss(cv - eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g), fd, rtol=1e-3, atol=1e-6)
+
+
+class TestCumMaxAndAxis:
+    def test_cummax_vector(self):
+        pv = np.array([1.0, 3.0, 2.0, 5.0, 4.0])
+        got = pinned_value(lambda x: ct.sum(ct.cummax(x)), pv)
+        np.testing.assert_allclose(
+            got, np.sum(np.maximum.accumulate(pv)), atol=1e-6
+        )
+
+    def test_cummax_matrix_axis1(self):
+        pv = rng.standard_normal((3, 4))
+        got = pinned_value(lambda x: ct.sum(ct.cummax(x, axis=1)), pv)
+        np.testing.assert_allclose(
+            got, np.sum(np.maximum.accumulate(pv, axis=1)), atol=1e-6
+        )
+
+    def test_max_min_axis(self):
+        pv = rng.standard_normal((3, 4))
+        got = pinned_value(
+            lambda x: ct.sum(ct.max(x, axis=0)) - ct.sum(ct.min(x, axis=1)),
+            pv,
+        )
+        want = pv.max(axis=0).sum() - pv.min(axis=1).sum()
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestTrInv:
+    def test_pinned(self):
+        n = 3
+        A = rng.standard_normal((n, n))
+        P = A @ A.T + n * np.eye(n)
+        X = ct.Variable((n, n))
+        pp = ct.Parameter((n, n))
+        t = ct.Variable()
+        prob = ct.Problem(ct.Minimize(t), [X == pp, ct.tr_inv(X) <= t])
+        layer = CvxpyLayer(prob, parameters=[pp], variables=[X, t])
+        _, ts = layer(jnp.asarray(P))
+        np.testing.assert_allclose(
+            float(ts), np.trace(np.linalg.inv(P)), atol=1e-5
+        )
+
+
+class TestApprox:
+    def test_log_normcdf_accuracy(self):
+        pv = np.array([-2.0, 0.0, 1.5])
+        got = pinned_value(lambda x: -ct.sum(ct.log_normcdf(x)), pv)
+        # approximation contract: <= 2.5e-4 per element on [-6, 6]
+        np.testing.assert_allclose(
+            got, -np.sum(spnorm.logcdf(pv)), atol=1e-3
+        )
+
+    def test_probit_layer_grad(self):
+        # max sum log_normcdf(a*x + b) - x^2: concave; FD gradcheck
+        a = ct.Parameter(3)
+        x = ct.Variable()
+        av = jnp.asarray([0.5, -1.0, 2.0])
+        prob = ct.Problem(
+            ct.Maximize(ct.sum(ct.log_normcdf(ct.multiply(a, x)))
+                        - ct.square(x))
+        )
+        layer = CvxpyLayer(prob, parameters=[a], variables=[x])
+
+        def loss(aa):
+            return layer(aa)[0]
+
+        g = jax.grad(loss)(av)
+        eps = 1e-4
+        for i in range(3):
+            e = jnp.zeros(3).at[i].set(eps)
+            fd = (float(loss(av + e)) - float(loss(av - e))) / (2 * eps)
+            np.testing.assert_allclose(float(g[i]), fd, atol=2e-3)
+
+    def test_loggamma_accuracy(self):
+        pv = np.array([0.3, 1.0, 2.5, 7.0])
+        got = pinned_value(lambda x: ct.sum(ct.loggamma(x)), pv)
+        np.testing.assert_allclose(got, np.sum(gammaln(pv)), atol=1e-3)
