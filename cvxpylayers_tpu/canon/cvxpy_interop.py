@@ -143,11 +143,54 @@ class _Converter:
             "logistic": ex.logistic, "pos": ex.pos, "neg": ex.neg,
             "square": ex.square, "sqrt": ex.sqrt, "inv_pos": ex.inv_pos,
             "lambda_max": ex.lambda_max, "lambda_min": ex.lambda_min,
+            "log1p": ex.log1p, "xexp": ex.xexp, "tr_inv": ex.tr_inv,
+            "one_minus_pos": ex.one_minus_pos,
+            "pf_eigenvalue": ex.pf_eigenvalue,
+            "eye_minus_inv": ex.eye_minus_inv,
+            "log_normcdf": ex.log_normcdf, "loggamma": ex.loggamma,
+            "sigma_max": ex.sigma_max, "log_det": ex.log_det,
+            "normNuc": ex.norm_nuc, "norm_nuc": ex.norm_nuc,
         }
         if name in simple:
             return simple[name](a[0])
         if name == "log_sum_exp":
-            return ex.log_sum_exp(a[0])
+            return ex.log_sum_exp(a[0], axis=getattr(node, "axis", None))
+        if name in ("Prod", "prod"):
+            if getattr(node, "axis", None) is not None:
+                raise InteropError("prod with axis is not supported")
+            return ex.prod(a[0])
+        if name in ("cummax", "CumMax"):
+            ax = getattr(node, "axis", 0)
+            return ex.cummax(a[0], axis=0 if ax is None else int(ax))
+        if name in ("gmatmul", "GMatMul"):
+            A = getattr(node, "A", None)
+            if A is None:
+                raise InteropError("gmatmul node without constant A")
+            Aval = A.value if hasattr(A, "value") else A
+            return ex.gmatmul(np.asarray(Aval), a[-1])
+        if name in ("sum_largest", "SumLargest"):
+            return ex.sum_largest(a[0], node.k)
+        if name in ("sum_smallest", "SumSmallest"):
+            return ex.sum_smallest(a[0], node.k)
+        if name in ("lambda_sum_largest",):
+            return ex.lambda_sum_largest(a[0], node.k)
+        if name in ("lambda_sum_smallest",):
+            return ex.lambda_sum_smallest(a[0], node.k)
+        if name in ("dotsort",):
+            w = getattr(node, "w", None)
+            if w is None and len(args) > 1:
+                w = args[1].value if hasattr(args[1], "value") else args[1]
+            return ex.dotsort(a[0], np.asarray(w))
+        if name in ("upper_tri",):
+            return ex.upper_tri(a[0])
+        if name in ("vec_to_upper_tri",):
+            return ex.vec_to_upper_tri(
+                a[0], strict=bool(getattr(node, "strict", False))
+            )
+        if name in ("harmonic_mean",):
+            return ex.harmonic_mean(a[0])
+        if name in ("ptp",):
+            return ex.ptp(a[0])
         if name == "maximum":
             out = a[0]
             for other in a[1:]:
@@ -159,16 +202,16 @@ class _Converter:
                 out = ex.minimum(out, other)
             return out
         if name in ("max", "Max"):
-            return ex.max(a[0])
+            return ex.max(a[0], axis=getattr(node, "axis", None))
         if name in ("min", "Min"):
-            return ex.min(a[0])
+            return ex.min(a[0], axis=getattr(node, "axis", None))
         if name in ("norm1",):
-            return ex.pnorm(a[0], 1)
+            return ex.pnorm(a[0], 1, axis=getattr(node, "axis", None))
         if name in ("norm_inf",):
-            return ex.pnorm(a[0], "inf")
+            return ex.pnorm(a[0], "inf", axis=getattr(node, "axis", None))
         if name in ("Pnorm", "pnorm", "norm2", "norm"):
             p = getattr(node, "p", 2)
-            return ex.pnorm(a[0], p)
+            return ex.pnorm(a[0], p, axis=getattr(node, "axis", None))
         if name == "QuadForm":
             return ex.quad_form(a[0], a[1])
         if name in ("MatrixFrac", "matrix_frac"):

@@ -147,9 +147,9 @@ class Dgp2Dcp:
         if isinstance(e, aff.AddExpression):
             return gpat.LogAddExp(self.transform(a[0]), self.transform(a[1]))
         if isinstance(e, aff.Sum):
-            if e.axis is not None:
-                raise DgpError("sum with axis is not supported under gp=True")
-            return nl.log_sum_exp(self.transform(a[0]))
+            return nl.log_sum_exp(
+                self.transform(a[0]), axis=e.axis, keepdims=e.keepdims
+            )
         if isinstance(e, nl.Maximum):
             return nl.maximum(*[self.transform(x) for x in a])
         if isinstance(e, nl.Minimum):

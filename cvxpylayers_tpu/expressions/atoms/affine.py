@@ -756,6 +756,14 @@ class _LinearMap(Atom):
     def canon(self, ctx, arg_reps):
         return arg_reps[0].apply_linear(self._L)
 
+    @property
+    def value(self):
+        v = self.args[0].value
+        if v is None:
+            return None
+        out = self._L @ np.asarray(v, dtype=np.float64).reshape(-1)
+        return out.reshape(self._out_shape)
+
 
 def _apply_matrix(expr, L, out_shape) -> Expression:
     return _LinearMap(expr, L, out_shape)
@@ -837,6 +845,37 @@ def upper_tri(expr) -> Expression:
     return _apply_matrix(
         expr, _selection_matrix(np.asarray(idx), expr.size), (d,)
     )
+
+
+def vec_to_upper_tri(expr, strict: bool = False) -> Expression:
+    """Inverse of upper_tri: place a vector of n(n+1)/2 (or n(n-1)/2 if
+    strict) entries into the upper triangle of an n x n matrix, row-major,
+    zeros elsewhere (cvxpy.vec_to_upper_tri parity)."""
+    expr = as_expression(expr)
+    if expr.ndim != 1:
+        raise ValueError("vec_to_upper_tri needs a vector")
+    m = expr.shape[0]
+    # solve m = n(n+1)/2 (non-strict) or n(n-1)/2 (strict) for integer n
+    disc = 1 + 8 * m
+    root = int(np.sqrt(disc))
+    if root * root != disc:
+        raise ValueError(
+            f"vector length {m} does not fit an upper triangle"
+        )
+    n = (root - 1) // 2 if not strict else (root + 1) // 2
+    want = n * (n + 1) // 2 if not strict else n * (n - 1) // 2
+    if want != m:
+        raise ValueError(
+            f"vector length {m} does not fit an upper triangle"
+        )
+    off = 0 if not strict else 1
+    rows = [
+        i * n + j for i in range(n) for j in range(i + off, n)
+    ]
+    L = sp.csr_matrix(
+        (np.ones(m), (rows, np.arange(m))), shape=(n * n, m)
+    )
+    return _apply_matrix(expr, L, (n, n))
 
 
 def diff(expr, k: int = 1) -> Expression:

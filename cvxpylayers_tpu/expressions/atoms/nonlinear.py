@@ -409,7 +409,8 @@ def huber(expr, M=1.0) -> Expression:
 
 class Power(Atom):
     """x^p elementwise via 3-D power cones (p in (0,1): concave;
-    p > 1: convex on its domain; p = 1 or 2 handled by callers)."""
+    p > 1: convex on x >= 0; p < 0: convex decreasing on x > 0;
+    p = 1 or 2 handled by callers)."""
 
     def __init__(self, expr, p):
         self.p = float(p)
@@ -419,7 +420,7 @@ class Power(Atom):
         return self.args[0].shape
 
     def is_atom_convex(self):
-        return self.p >= 1.0
+        return self.p >= 1.0 or self.p < 0.0
 
     def is_atom_concave(self):
         return 0.0 < self.p <= 1.0
@@ -427,10 +428,10 @@ class Power(Atom):
     def is_incr(self, i):
         if 0 < self.p <= 1:
             return True
-        return self.args[0].is_nonneg()
+        return self.p > 1 and self.args[0].is_nonneg()
 
     def is_decr(self, i):
-        return False
+        return self.p < 0
 
     def sign(self):
         return Sign.NONNEG
@@ -446,9 +447,18 @@ class Power(Atom):
         elif self.p > 1:
             # t >= x^p (x >= 0): x <= t^{1/p}: (t, 1, x) in Pow(1/p)
             ctx.add_pow(t, ones, x, 1.0 / self.p)
+        elif self.p < 0:
+            # t >= x^p (x > 0): t^a x^{1-a} >= 1 with a = 1/(1-p):
+            # (t, x, 1) in Pow(a)
+            ctx.add_pow(t, x, ones, 1.0 / (1.0 - self.p))
         else:
             raise ValueError(f"unsupported power {self.p}")
         return t
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        return None if v is None else v ** self.p
 
 
 def power(expr, p) -> Expression:
@@ -464,6 +474,8 @@ def power(expr, p) -> Expression:
         from ..leaf import Constant
 
         return Constant(np.ones(expr.shape))
+    if p == -1.0:
+        return InvPos(expr)  # SOC-representable, cheaper than a pow cone
     return Power(expr, p)
 
 
@@ -554,8 +566,80 @@ class NormInf(Atom):
         return t
 
 
-def norm(expr, p=2) -> Expression:
+class Norm2Grouped(Atom):
+    """Euclidean norm along one axis (cvxpy norm(X, 2, axis=...)):
+    one interleaved SOC block per output element."""
+
+    def __init__(self, expr, axis, keepdims=False):
+        self.axis = axis
+        self.keepdims = bool(keepdims)
+        super().__init__(expr)
+
+    def shape_from_args(self):
+        probe = np.zeros(self.args[0].shape, dtype=np.int8).sum(
+            axis=self.axis, keepdims=self.keepdims
+        )
+        return probe.shape
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def is_incr(self, i):
+        return self.args[0].is_nonneg()
+
+    def is_decr(self, i):
+        return self.args[0].is_nonpos()
+
+    def sign(self):
+        return Sign.NONNEG
+
+    def canon(self, ctx, arg_reps):
+        from .affine import reduction_out_index
+
+        x = arg_reps[0]
+        shape = self.args[0].shape
+        ax = self.axis % len(shape)
+        w = shape[ax]
+        n_in = x.n_rows
+        m = self.size
+        t = _aux(ctx, m)
+        out_idx = reduction_out_index(shape, ax)
+        coord = np.indices(shape)[ax].reshape(-1)
+        parts = [t]
+        src = np.arange(n_in)
+        for k in range(w):
+            mask = coord == k
+            Sk = sp.csr_matrix(
+                (np.ones(mask.sum()), (out_idx[mask], src[mask])),
+                shape=(m, n_in),
+            )
+            parts.append(x.apply_linear(Sk))
+        ctx.add_soc_elem(parts)
+        return t
+
+    @property
+    def value(self):
+        v = self.args[0].value
+        if v is None:
+            return None
+        return np.linalg.norm(v, axis=self.axis, keepdims=self.keepdims)
+
+
+def norm(expr, p=2, axis=None, keepdims=False) -> Expression:
     expr = as_expression(expr)
+    if axis is not None:
+        from .affine import Sum
+
+        if p in (1, "1"):
+            return Sum(Abs(expr), axis=axis, keepdims=keepdims)
+        if p in (2, "2", "fro"):
+            return Norm2Grouped(expr, axis, keepdims=keepdims)
+        if p in (np.inf, "inf"):
+            return MaxEntries(Abs(expr), axis=axis, keepdims=keepdims)
+        raise ValueError("norm with axis supports p in {1, 2, inf}")
     if p == "fro":
         return Norm2(expr)
     if p == "nuc":
@@ -586,12 +670,14 @@ def norm(expr, p=2) -> Expression:
     raise ValueError(f"unsupported norm order {p}")
 
 
-def pnorm(expr, p=2) -> Expression:
+def pnorm(expr, p=2, axis=None, keepdims=False) -> Expression:
     """General p-norm; also supports the concave 0 < p < 1 variant
     (sum x^p)^(1/p) on nonneg arguments (cvxpy pnorm parity)."""
     if isinstance(p, (int, float)) and 0 < p < 1:
+        if axis is not None:
+            raise ValueError("pnorm with 0 < p < 1 does not support axis")
         return PnormGeneral(as_expression(expr), p)
-    return norm(expr, p)
+    return norm(expr, p, axis=axis, keepdims=keepdims)
 
 
 class SumSquares(Atom):
@@ -897,8 +983,16 @@ def minimum(*args) -> Expression:
 
 
 class LogSumExp(Atom):
+    def __init__(self, expr, axis=None, keepdims=False):
+        self.axis = axis
+        self.keepdims = bool(keepdims)
+        super().__init__(expr)
+
     def shape_from_args(self):
-        return ()
+        probe = np.zeros(self.args[0].shape, dtype=np.int8).sum(
+            axis=self.axis, keepdims=self.keepdims
+        )
+        return probe.shape
 
     def is_atom_convex(self):
         return True
@@ -910,20 +1004,32 @@ class LogSumExp(Atom):
         return True
 
     def canon(self, ctx, arg_reps):
+        from .affine import reduction_expand_matrix
+
         x = arg_reps[0]
         n = x.n_rows
-        t = _aux(ctx, 1)
+        m = self.size
+        t = _aux(ctx, m)
         u = _aux(ctx, n)
-        t_full = t.apply_linear(sp.csr_matrix(np.ones((n, 1))))
+        L = reduction_expand_matrix(self.args[0].shape, self.axis, m)
         ones = _const_rep(n, 1.0)
-        # e^{x_i - t} <= u_i, sum u <= 1
-        ctx.add_exp(x + t_full.neg(), ones, u)
-        ctx.add_nonneg(_const_rep(1, 1.0) + u.apply_linear(_ones_row(n)).neg())
+        # e^{x_i - t_{g(i)}} <= u_i, per group g: sum u <= 1
+        ctx.add_exp(x + t.apply_linear(L).neg(), ones, u)
+        ctx.add_nonneg(_const_rep(m, 1.0) + u.apply_linear(L.T.tocsr()).neg())
         return t
 
+    @property
+    def value(self):
+        v = self.args[0].value
+        if v is None:
+            return None
+        from scipy.special import logsumexp as _lse
 
-def log_sum_exp(expr) -> Expression:
-    return LogSumExp(as_expression(expr))
+        return _lse(v, axis=self.axis, keepdims=self.keepdims)
+
+
+def log_sum_exp(expr, axis=None, keepdims=False) -> Expression:
+    return LogSumExp(as_expression(expr), axis=axis, keepdims=keepdims)
 
 
 class GeoMean(Atom):
@@ -963,6 +1069,21 @@ class GeoMean(Atom):
 
 def geo_mean(expr) -> Expression:
     return GeoMean(as_expression(expr))
+
+
+def inv_prod(expr) -> Expression:
+    """1/prod(x) for positive x (convex; cvxpy's inv_prod):
+    geo_mean(x)^{-n} — Power(p<0, convex decreasing) of a concave
+    argument is DCP."""
+    expr = as_expression(expr)
+    n = expr.size
+    if expr.ndim != 1:
+        from .affine import reshape
+
+        expr = reshape(expr, (n,))
+    if n == 1:
+        return InvPos(expr)
+    return Power(GeoMean(expr), -float(n))
 
 
 # ------------------------------------------------------------ spectral atoms

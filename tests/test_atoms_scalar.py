@@ -173,3 +173,69 @@ class TestApprox:
         pv = np.array([0.3, 1.0, 2.5, 7.0])
         got = pinned_value(lambda x: ct.sum(ct.loggamma(x)), pv)
         np.testing.assert_allclose(got, np.sum(gammaln(pv)), atol=1e-3)
+
+
+class TestBatch2:
+    def test_power_negative(self):
+        pv = np.array([0.5, 1.5, 3.0])
+        got = pinned_value(lambda x: ct.sum(ct.power(x, -2)), pv)
+        np.testing.assert_allclose(got, np.sum(pv ** -2.0), atol=1e-5)
+        got = pinned_value(lambda x: ct.sum(ct.power(x, -0.5)), pv)
+        np.testing.assert_allclose(got, np.sum(pv ** -0.5), atol=1e-5)
+
+    def test_inv_prod(self):
+        pv = np.array([0.5, 1.5, 3.0])
+        got = pinned_value(lambda x: ct.inv_prod(x), pv)
+        np.testing.assert_allclose(got, 1.0 / np.prod(pv), atol=1e-6)
+
+    def test_log_sum_exp_axis(self):
+        from scipy.special import logsumexp
+
+        pv = rng.standard_normal((3, 4))
+        got = pinned_value(
+            lambda x: ct.sum(ct.log_sum_exp(x, axis=1)), pv
+        )
+        np.testing.assert_allclose(
+            got, np.sum(logsumexp(pv, axis=1)), atol=1e-6
+        )
+
+    def test_norm_axis(self):
+        pv = rng.standard_normal((3, 4))
+        got = pinned_value(lambda x: ct.sum(ct.norm(x, 2, axis=1)), pv)
+        np.testing.assert_allclose(
+            got, np.sum(np.linalg.norm(pv, axis=1)), atol=1e-6
+        )
+        got = pinned_value(
+            lambda x: ct.sum(ct.norm(x, 1, axis=0))
+            + ct.sum(ct.norm(x, np.inf, axis=1)),
+            pv,
+        )
+        want = np.abs(pv).sum(0).sum() + np.abs(pv).max(1).sum()
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_vec_to_upper_tri(self):
+        v6 = rng.standard_normal(6)
+        M = ct.vec_to_upper_tri(ct.Constant(v6)).value
+        want = np.zeros((3, 3))
+        want[np.triu_indices(3)] = v6
+        np.testing.assert_allclose(M, want)
+        v3 = rng.standard_normal(3)
+        M = ct.vec_to_upper_tri(ct.Constant(v3), strict=True).value
+        want = np.zeros((3, 3))
+        want[np.triu_indices(3, k=1)] = v3
+        np.testing.assert_allclose(M, want)
+
+    def test_gp_sum_axis(self):
+        X = ct.Variable((2, 3), pos=True)
+        P = ct.Parameter((2, 3), pos=True)
+        prob = ct.Problem(
+            ct.Minimize(ct.max(ct.sum(X, axis=1))), [X >= P]
+        )
+        layer = CvxpyLayer(prob, parameters=[P], variables=[X], gp=True)
+        Pv = np.abs(rng.standard_normal((2, 3))) + 0.2
+        (Xs,) = layer(jnp.asarray(Pv))
+        Xs = np.asarray(Xs)
+        assert np.all(Xs >= Pv - 1e-6)
+        np.testing.assert_allclose(
+            Xs.sum(axis=1).max(), Pv.sum(axis=1).max(), rtol=1e-5
+        )
