@@ -154,11 +154,36 @@ class Canonicalizer:
             rep = TensorRep.parameter(expr.size, self.param_offsets[id(expr)])
         elif isinstance(expr, Constant):
             rep = TensorRep.constant(expr.value)
+        elif getattr(expr, "raw_canon", False):
+            # atom drives its own sub-canonicalization (e.g. perspective,
+            # which must intercept and homogenize its argument's blocks)
+            rep = expr.canon(self, None)
         else:
             arg_reps = [self.rep_of(a) for a in expr.args]
             rep = expr.canon(self, arg_reps)
         self._rep_cache[key] = rep
         return rep
+
+    _BLOCK_LISTS = (
+        "zero_blocks", "nonneg_blocks", "soc_blocks",
+        "exp_blocks", "psd_blocks", "pow_blocks",
+    )
+
+    def block_marks(self):
+        """Snapshot of per-family block counts (for windowed transforms)."""
+        return {k: len(getattr(self, k)) for k in self._BLOCK_LISTS}
+
+    def homogenize_since(self, marks, s_rep: TensorRep):
+        """Rewrite every block added since `marks` to its perspective:
+        constants c(p) become c(p)*s (conic perspective transform)."""
+        for name in self._BLOCK_LISTS:
+            lst = getattr(self, name)
+            for i in range(marks[name], len(lst)):
+                b = lst[i]
+                lst[i] = ConeBlock(
+                    b.kind, b.rep.homogenize_const(s_rep), b.meta,
+                    b.constraint_id,
+                )
 
     # ------------------------------------------------------------ cone blocks
 

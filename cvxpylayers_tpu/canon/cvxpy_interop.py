@@ -234,6 +234,10 @@ class _Converter:
             return ex.kl_div(a[0], a[1])
         if name == "rel_entr":
             return ex.rel_entr(a[0], a[1])
+        if name == "perspective":
+            if len(a) < 2:
+                raise InteropError("perspective node needs (f, s) args")
+            return ex.perspective(a[0], a[1])
 
         raise InteropError(
             f"cvxpy atom {name!r} has no native counterpart yet"

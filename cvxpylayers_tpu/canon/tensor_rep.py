@@ -264,6 +264,44 @@ class TensorRep:
             self_keys, other, other_keys, out_rows_fn, n_out, op_name
         )
 
+    def mul_scalar_expr(self, s_rep: "TensorRep") -> "TensorRep":
+        """self (var-free, n rows) times a SCALAR expression s_rep (1 row,
+        possibly variable-affine): out[r] = self[r] * s. Used by the
+        perspective transform to homogenize constants by the scale
+        variable; the usual DPP single-parameter-factor rule applies."""
+        if s_rep.n_rows != 1:
+            raise ValueError("mul_scalar_expr needs a scalar multiplier")
+
+        def out_rows(sidx, oidx):
+            return self.rows[sidx]
+
+        return self._join_product(
+            np.zeros(self.nnz, dtype=np.int64),
+            s_rep,
+            np.zeros(s_rep.nnz, dtype=np.int64),
+            out_rows,
+            self.n_rows,
+            "perspective homogenization",
+        )
+
+    def homogenize_const(self, s_rep: "TensorRep") -> "TensorRep":
+        """Replace the affine constant part c(p) of this rep by c(p)*s:
+        rows' = A(p) x + c(p) * s. This is the conic perspective transform
+        (cones are invariant under positive row scaling)."""
+        mask = self.var_cols == CONST
+        if not mask.any():
+            return self
+        keep = ~mask
+        var_part = TensorRep(
+            self.n_rows, self.rows[keep], self.var_cols[keep],
+            self.param_cols[keep], self.vals[keep],
+        )
+        const_part = TensorRep(
+            self.n_rows, self.rows[mask], self.var_cols[mask],
+            self.param_cols[mask], self.vals[mask],
+        )
+        return var_part + const_part.mul_scalar_expr(s_rep)
+
     # ------------------------------------------------------------- evaluation
 
     def eval(self, x_ext: np.ndarray, p_ext: np.ndarray) -> np.ndarray:

@@ -1071,6 +1071,86 @@ def geo_mean(expr) -> Expression:
     return GeoMean(as_expression(expr))
 
 
+class Perspective(Atom):
+    """persp(f, s)(x, s) = s * f(x/s) for s >= 0 (closure at s = 0).
+
+    Conic construction: canonicalize f's graph in a sandbox window (fresh
+    rep cache so shared subexpressions get their own homogenized copies),
+    then rewrite every captured cone block A(p)[x;u] + c(p) in K to
+    A(p)[x;u] + c(p)*s in K — cones are invariant under positive scaling,
+    so this is exactly the perspective's graph (cvxpy parity:
+    cvxpy/atoms/perspective.py; reference corpus via interop)."""
+
+    raw_canon = True
+
+    def shape_from_args(self):
+        return ()
+
+    def validate(self):
+        f, s = self.args
+        if not f.is_scalar():
+            raise ValueError("perspective needs a scalar expression f")
+        if not s.is_scalar():
+            raise ValueError("perspective needs a scalar scale s")
+        if f.has_param() and s.has_param():
+            raise ValueError(
+                "DPP violation: perspective with parameters in both f and s"
+            )
+
+    def is_atom_convex(self):
+        return True
+
+    def is_atom_concave(self):
+        return False
+
+    def curvature(self):
+        from ..expression import Curvature
+
+        f, s = self.args
+        if not s.is_affine():
+            return Curvature.UNKNOWN
+        fc = f.curvature()
+        if fc.is_affine():
+            return Curvature.AFFINE
+        if fc.is_convex():
+            return Curvature.CONVEX
+        if fc.is_concave():
+            return Curvature.CONCAVE
+        return Curvature.UNKNOWN
+
+    def sign(self):
+        return self.args[0].sign()
+
+    def canon(self, ctx, _):
+        f, s = self.args
+        rep_s = ctx.rep_of(s)
+        ctx.add_nonneg(rep_s)  # domain: s >= 0
+        fc = f.curvature()
+        saved = ctx._rep_cache
+        ctx._rep_cache = {}
+        marks = ctx.block_marks()
+        try:
+            rep_f = ctx.rep_of(f)
+            if fc.is_affine():
+                t = None
+            else:
+                t = _aux(ctx, 1)
+                if fc.is_convex():
+                    ctx.add_nonneg(t + rep_f.neg())
+                else:
+                    ctx.add_nonneg(rep_f + t.neg())
+            ctx.homogenize_since(marks, rep_s)
+        finally:
+            ctx._rep_cache = saved
+        if t is None:
+            return rep_f.homogenize_const(rep_s)
+        return t
+
+def perspective(f, s) -> Expression:
+    """s * f(x/s) with s >= 0 (cvxpy.perspective parity)."""
+    return Perspective(as_expression(f), as_expression(s))
+
+
 def inv_prod(expr) -> Expression:
     """1/prod(x) for positive x (convex; cvxpy's inv_prod):
     geo_mean(x)^{-n} — Power(p<0, convex decreasing) of a concave

@@ -239,3 +239,109 @@ class TestBatch2:
         np.testing.assert_allclose(
             Xs.sum(axis=1).max(), Pv.sum(axis=1).max(), rtol=1e-5
         )
+
+
+class TestPerspective:
+    """persp(f, s) = s*f(x/s) via windowed-homogenization canon
+    (quad_over_lin / entropy / affine oracles; cf. cvxpy perspective)."""
+
+    def test_quad_over_lin_oracle(self):
+        x = ct.Variable(3)
+        s = ct.Variable()
+        p = ct.Parameter(3)
+        q = ct.Parameter()
+        t = ct.Variable()
+        prob = ct.Problem(
+            ct.Minimize(t),
+            [t >= ct.perspective(ct.sum_squares(x), s), x == p, s == q],
+        )
+        layer = CvxpyLayer(prob, parameters=[p, q], variables=[t])
+        pv = jnp.array([1.0, -2.0, 0.5])
+        qv = jnp.array(2.0)
+        (tv,) = layer(pv, qv)
+        np.testing.assert_allclose(
+            float(tv), float(np.sum(np.array(pv) ** 2) / qv), atol=1e-6
+        )
+        g = jax.grad(lambda a, b: layer(a, b)[0], argnums=(0, 1))(pv, qv)
+        np.testing.assert_allclose(
+            np.asarray(g[0]), 2 * np.array(pv) / float(qv), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(g[1]), -np.sum(np.array(pv) ** 2) / float(qv) ** 2,
+            atol=1e-5,
+        )
+
+    def test_free_scale(self):
+        # min ||p||^2/s + s -> s* = ||p||
+        x = ct.Variable(3)
+        s = ct.Variable()
+        p = ct.Parameter(3)
+        prob = ct.Problem(
+            ct.Minimize(ct.perspective(ct.sum_squares(x), s) + s), [x == p]
+        )
+        layer = CvxpyLayer(prob, parameters=[p], variables=[x, s])
+        pv = jnp.array([1.0, -2.0, 0.5])
+        _, ss = layer(pv)
+        np.testing.assert_allclose(
+            float(ss), np.sqrt(np.sum(np.array(pv) ** 2)), atol=1e-5
+        )
+
+    def test_concave_entropy(self):
+        # max t s.t. t <= s*sum(entr(x/s)) = -sum x log(x/s), x=p, s=1.5
+        xe = ct.Variable(3, pos=True)
+        se = ct.Variable()
+        pe = ct.Parameter(3)
+        te = ct.Variable()
+        prob = ct.Problem(
+            ct.Maximize(te),
+            [
+                te <= ct.perspective(ct.sum(ct.entr(xe)), se),
+                xe == pe,
+                se == 1.5,
+            ],
+        )
+        layer = CvxpyLayer(prob, parameters=[pe], variables=[te])
+        pv = np.array([0.2, 0.5, 0.8])
+        (tv,) = layer(jnp.asarray(pv))
+        np.testing.assert_allclose(
+            float(tv), -np.sum(pv * np.log(pv / 1.5)), atol=1e-6
+        )
+
+    def test_affine_f(self):
+        # persp(sum(x)+3, s) == sum(x) + 3 s exactly
+        xa = ct.Variable(2)
+        sa = ct.Variable()
+        pa = ct.Parameter(2)
+        prob = ct.Problem(
+            ct.Minimize(ct.sum_squares(xa - pa) + ct.square(sa - 2.0)),
+            [ct.perspective(ct.sum(xa) + 3.0, sa) == ct.sum(pa) + 6.0],
+        )
+        layer = CvxpyLayer(prob, parameters=[pa], variables=[xa, sa])
+        pv = jnp.array([0.7, -0.3])
+        xs, ss = layer(pv)
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(pv), atol=1e-5)
+        np.testing.assert_allclose(float(ss), 2.0, atol=1e-5)
+
+    def test_shared_subexpression(self):
+        # f's subtree also used outside the perspective: the sandbox cache
+        # must give the perspective its own homogenized copy.
+        x = ct.Variable(2)
+        s = ct.Variable()
+        p = ct.Parameter(2)
+        f = ct.sum_squares(x)
+        prob = ct.Problem(
+            ct.Minimize(ct.perspective(f, s) + f + s),
+            [x == p],
+        )
+        layer = CvxpyLayer(prob, parameters=[p], variables=[x, s])
+        pv = jnp.array([0.6, -1.1])
+        _, ss = layer(pv)
+        np.testing.assert_allclose(
+            float(ss), np.sqrt(np.sum(np.array(pv) ** 2)), atol=1e-5
+        )
+
+    def test_dcp_rejection(self):
+        x = ct.Variable()
+        s = ct.Variable()
+        bad = ct.perspective(ct.sum_squares(x), ct.square(s))
+        assert bad.curvature() is ct.expressions.expression.Curvature.UNKNOWN
