@@ -124,11 +124,12 @@ def _build_layers(ct):
     sm_params = (jnp.asarray(rng.standard_normal((B, n)), dtype),)
     # exp-cone problems in f32: ADMM identifies the active faces by
     # ~300 iterations; the (kink-escaping, full-precision-CG) Newton
-    # polish owns the accuracy (512/512 solved at ~7e-7 on v5e)
+    # polish owns the accuracy (512/512 solved at ~7e-7 on v5e; 20 steps
+    # suffice with the factored-D CG + batched damping ladder)
     cfgs["softmax_duals"] = (
         sm, sm_params,
         _tuned_args({"max_iters": 300, "epoch": 100,
-                     "refine_steps": 25}), B,
+                     "refine_steps": 20}), B,
     )
 
     # ---- 5. GP path (reference tests/test_torch.py:429-458 problem)

@@ -229,7 +229,10 @@ class _Converter:
         if name == "power":
             return ex.power(a[0], node.p)
         if name == "geo_mean":
-            return ex.geo_mean(a[0])
+            p = getattr(node, "p", None)
+            return ex.geo_mean(
+                a[0], None if p is None else [float(f) for f in p]
+            )
         if name == "kl_div":
             return ex.kl_div(a[0], a[1])
         if name == "rel_entr":

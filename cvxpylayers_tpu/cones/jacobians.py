@@ -83,69 +83,63 @@ def dproj_psd_svec(v: jax.Array, s: int) -> jax.Array:
     return jax.vmap(apply, out_axes=1)(basis)
 
 
-def make_cone_dproj_apply(dims: ConeDims):
-    """fn(w, v) -> D Pi_K(w) @ v without materializing the (m, m) matrix.
+def _soc_dapply(wb: jax.Array, vb: jax.Array) -> jax.Array:
+    """D Pi_soc(wb) @ vb for one block, O(d) (no d x d materialization)."""
+    t = wb[0]
+    x = wb[1:]
+    r = jnp.linalg.norm(x)
+    safe_r = jnp.where(r > 0, r, 1.0)
+    xh = x / safe_r
+    vt = vb[0]
+    vx = vb[1:]
+    xv = xh @ vx
+    top = 0.5 * (vt + xv)
+    bottom = 0.5 * (
+        vt * xh + (1.0 + t / safe_r) * vx - (t / safe_r) * xv * xh
+    )
+    out = jnp.concatenate([top[None], bottom])
+    inside = r <= t
+    polar = r <= -t
+    return jnp.where(inside, vb, jnp.where(polar, jnp.zeros_like(vb), out))
 
-    The projection Jacobian is symmetric block-diagonal, so this one
-    function serves both J and J' matvecs (solver/linsolve CG path) at
-    O(sum block^2) cost instead of O(m^2)."""
+
+def make_cone_dproj_factored(dims: ConeDims):
+    """(factor, apply) pair for repeated D Pi_K(w) matvecs at FIXED w.
+
+    factor(w) performs all the w-dependent heavy lifting once — the
+    exp/pow 3x3 Jacobians (each hides a bracketed root-find inside
+    project_*) and the PSD eigendecompositions — and returns a state
+    pytree; apply(state, v) is then masks/einsums only. CG-based KKT
+    solves evaluate the Jacobian at one w for the whole solve, and
+    recomputing the root-finds inside every matvec dominated exp-cone
+    polish time on TPU (latency-bound sequential scans)."""
     soc_runs = _group_runs(dims.soc)
     psd_runs = _group_runs(dims.psd)
     pow_alphas = np.array(dims.pow3) if dims.pow3 else None
     dproj_exp3 = jax.jacfwd(project_exp)
     dproj_pow3 = jax.jacfwd(project_pow3, argnums=0)
 
-    def apply(w: jax.Array, v: jax.Array) -> jax.Array:
-        parts = []
-        off = 0
-        if dims.zero:
-            parts.append(jnp.zeros(dims.zero, v.dtype))
-            off += dims.zero
+    def factor(w: jax.Array):
+        from .projections import svec_to_sym
+
+        st = []
+        off = dims.zero
         if dims.nonneg:
-            seg = w[off:off + dims.nonneg]
-            parts.append((seg > 0).astype(v.dtype) * v[off:off + dims.nonneg])
+            st.append(w[off:off + dims.nonneg] > 0)
             off += dims.nonneg
         for d, nblk in soc_runs:
-            ws = w[off:off + d * nblk].reshape(nblk, d)
-            vs = v[off:off + d * nblk].reshape(nblk, d)
-
-            def soc_apply(wb, vb):
-                t = wb[0]
-                x = wb[1:]
-                r = jnp.linalg.norm(x)
-                safe_r = jnp.where(r > 0, r, 1.0)
-                xh = x / safe_r
-                vt = vb[0]
-                vx = vb[1:]
-                xv = xh @ vx
-                top = 0.5 * (vt + xv)
-                bottom = 0.5 * (
-                    vt * xh + (1.0 + t / safe_r) * vx
-                    - (t / safe_r) * xv * xh
-                )
-                out = jnp.concatenate([top[None], bottom])
-                inside = r <= t
-                polar = r <= -t
-                return jnp.where(
-                    inside, vb, jnp.where(polar, jnp.zeros_like(vb), out)
-                )
-
-            parts.append(jax.vmap(soc_apply)(ws, vs).reshape(-1))
+            # SOC applies are O(d) from raw w; nothing to precompute
+            st.append(w[off:off + d * nblk])
             off += d * nblk
         if dims.exp:
             ws = w[off:off + 3 * dims.exp].reshape(dims.exp, 3)
-            vs = v[off:off + 3 * dims.exp].reshape(dims.exp, 3)
-            blocks = jax.vmap(dproj_exp3)(ws)
-            parts.append(jnp.einsum("kij,kj->ki", blocks, vs).reshape(-1))
+            st.append(jax.vmap(dproj_exp3)(ws))
             off += 3 * dims.exp
         for s, nblk in psd_runs:
             d = s * (s + 1) // 2
             ws = w[off:off + d * nblk].reshape(nblk, d)
-            vs = v[off:off + d * nblk].reshape(nblk, d)
 
-            def psd_apply(wb, vb):
-                from .projections import svec_to_sym, sym_to_svec
-
+            def psd_factor(wb, s=s):
                 M = svec_to_sym(wb, s)
                 lam, U = jnp.linalg.eigh(M)
                 lp = jnp.maximum(lam, 0.0)
@@ -154,25 +148,78 @@ def make_cone_dproj_apply(dims: ConeDims):
                 B = jnp.where(
                     jnp.abs(dl) > 1e-12 * (1 + jnp.abs(lam).max()),
                     num / jnp.where(jnp.abs(dl) > 0, dl, 1.0),
-                    (lam[:, None] > 0).astype(vb.dtype),
+                    (lam[:, None] > 0).astype(wb.dtype),
                 )
-                H = svec_to_sym(vb, s)
-                return sym_to_svec(U @ (B * (U.T @ H @ U)) @ U.T)
-
-            parts.append(jax.vmap(psd_apply)(ws, vs).reshape(-1))
+                return U, B
+            st.append(jax.vmap(psd_factor)(ws))
             off += d * nblk
         if dims.pow3:
             npw = len(dims.pow3)
             ws = w[off:off + 3 * npw].reshape(npw, 3)
+            st.append(
+                jax.vmap(dproj_pow3)(ws, jnp.asarray(pow_alphas, w.dtype))
+            )
+            off += 3 * npw
+        return tuple(st)
+
+    def apply(state, v: jax.Array) -> jax.Array:
+        from .projections import svec_to_sym, sym_to_svec
+
+        parts = []
+        it = iter(state)
+        off = 0
+        if dims.zero:
+            parts.append(jnp.zeros(dims.zero, v.dtype))
+            off += dims.zero
+        if dims.nonneg:
+            mask = next(it)
+            parts.append(mask.astype(v.dtype) * v[off:off + dims.nonneg])
+            off += dims.nonneg
+        for d, nblk in soc_runs:
+            ws = next(it).reshape(nblk, d)
+            vs = v[off:off + d * nblk].reshape(nblk, d)
+            parts.append(jax.vmap(_soc_dapply)(ws, vs).reshape(-1))
+            off += d * nblk
+        if dims.exp:
+            blocks = next(it)
+            vs = v[off:off + 3 * dims.exp].reshape(dims.exp, 3)
+            parts.append(jnp.einsum("kij,kj->ki", blocks, vs).reshape(-1))
+            off += 3 * dims.exp
+        for s, nblk in psd_runs:
+            d = s * (s + 1) // 2
+            U, B = next(it)
+            vs = v[off:off + d * nblk].reshape(nblk, d)
+
+            def psd_apply(Ub, Bb, vb, s=s):
+                H = svec_to_sym(vb, s)
+                return sym_to_svec(Ub @ (Bb * (Ub.T @ H @ Ub)) @ Ub.T)
+
+            parts.append(jax.vmap(psd_apply)(U, B, vs).reshape(-1))
+            off += d * nblk
+        if dims.pow3:
+            blocks = next(it)
+            npw = len(dims.pow3)
             vs = v[off:off + 3 * npw].reshape(npw, 3)
-            blocks = jax.vmap(dproj_pow3)(ws, jnp.asarray(pow_alphas, v.dtype))
             parts.append(jnp.einsum("kij,kj->ki", blocks, vs).reshape(-1))
             off += 3 * npw
         if not parts:
             return v[:0]
         return jnp.concatenate(parts)
 
-    return apply
+    return factor, apply
+
+
+def make_cone_dproj_apply(dims: ConeDims):
+    """fn(w, v) -> D Pi_K(w) @ v without materializing the (m, m) matrix.
+
+    One-shot convenience over make_cone_dproj_factored — callers doing
+    repeated matvecs at fixed w should factor once instead."""
+    factor, apply = make_cone_dproj_factored(dims)
+
+    def apply_once(w: jax.Array, v: jax.Array) -> jax.Array:
+        return apply(factor(w), v)
+
+    return apply_once
 
 
 def make_cone_dproj_dense(dims: ConeDims):

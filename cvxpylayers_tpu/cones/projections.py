@@ -28,12 +28,22 @@ import jax.numpy as jnp
 
 from .dims import ConeDims
 
-# Number of bisection iterations for the 1-D root finds inside the exp and
-# power cone projections. 90 halvings of the initial bracket reduce its width
-# by 2^-90 ~ 8e-28 — beyond f64 resolution for any realistically-sized
-# bracket — and cost only cheap VPU scalar ops.
-_BISECT_ITERS = 90
-_EXPAND_ITERS = 60
+# Iteration counts for the 1-D root finds inside the exp and power cone
+# projections, per dtype. These scans are SEQUENTIAL on TPU (each step is a
+# tiny batched VPU op), so their length is pure latency in every residual
+# eval of the polish — size them to land inside the basin of the two
+# trailing symbolic-Newton refinements (quadratic), not to machine eps.
+# Bracket ends are clipped to the dtype cap (30 / 300), so expansion
+# saturates after ~10 doublings; f32 bisection of a <=60-wide bracket
+# reaches ~6e-8 in 30 halvings before Newton. f64 (CPU test oracles at
+# 1e-10..1e-12) keeps a generous budget.
+
+
+def _root_iters(dtype):
+    """(expand, bisect) scan lengths for the given dtype."""
+    if dtype == jnp.float32:
+        return 8, 30
+    return 12, 60
 
 
 # ---------------------------------------------------------------------------
@@ -161,8 +171,9 @@ def _exp_solve_root(r0, s0, t0):
         new_hhi = jnp.where(both_neg, _exp_h(new_hi, r0, s0, t0), hhi_)
         return (new_lo, new_hi, new_hlo, new_hhi), None
 
+    n_expand, n_bisect = _root_iters(r0.dtype)
     (lo, hi, h_lo, h_hi), _ = jax.lax.scan(
-        expand, (lo, hi, h_lo, h_hi), None, length=_EXPAND_ITERS
+        expand, (lo, hi, h_lo, h_hi), None, length=n_expand
     )
 
     def bisect(state, _):
@@ -175,7 +186,8 @@ def _exp_solve_root(r0, s0, t0):
         new_hi = jnp.where(same, hi_, mid)
         return (new_lo, new_hi, new_hlo), None
 
-    (lo, hi, _), _ = jax.lax.scan(bisect, (lo, hi, h_lo), None, length=_BISECT_ITERS)
+    (lo, hi, _), _ = jax.lax.scan(bisect, (lo, hi, h_lo), None,
+                                  length=n_bisect)
     return 0.5 * (lo + hi)
 
 
@@ -293,7 +305,8 @@ def project_pow3(v: jax.Array, alpha) -> jax.Array:
             take_lo = gmid > 0
             return (jnp.where(take_lo, mid, lo_), jnp.where(take_lo, hi_, mid)), None
 
-        (lo_, hi_), _ = jax.lax.scan(body, (lo, hi), None, length=_BISECT_ITERS)
+        (lo_, hi_), _ = jax.lax.scan(body, (lo, hi), None,
+                                     length=_root_iters(v.dtype)[1])
         return 0.5 * (lo_ + hi_)
 
     r = jax.lax.stop_gradient(bisect_root())

@@ -1033,7 +1033,24 @@ def log_sum_exp(expr, axis=None, keepdims=False) -> Expression:
 
 
 class GeoMean(Atom):
-    """(x_1 ... x_n)^{1/n} for a nonneg vector, via a power-cone chain."""
+    """prod x_i^{p_i / sum(p)} for a nonneg vector (p=None: uniform
+    weights, the plain geometric mean), via a power-cone chain
+    (cvxpy.geo_mean(x, p) parity)."""
+
+    def __init__(self, expr, p=None):
+        if p is not None:
+            p = np.asarray(p, dtype=np.float64).reshape(-1)
+            if np.any(p < 0) or p.sum() <= 0:
+                raise ValueError("geo_mean weights must be nonneg, sum > 0")
+        self.p = p
+        super().__init__(expr)
+
+    def validate(self):
+        if self.p is not None and self.p.size != self.args[0].size:
+            raise ValueError(
+                f"geo_mean weight length {self.p.size} != "
+                f"argument size {self.args[0].size}"
+            )
 
     def shape_from_args(self):
         if self.args[0].ndim != 1:
@@ -1055,20 +1072,35 @@ class GeoMean(Atom):
     def canon(self, ctx, arg_reps):
         x = arg_reps[0]
         n = x.n_rows
-        if n == 1:
-            return x
-        # y_1 = x_1; y_k <= x_k^{1/k} y_{k-1}^{(k-1)/k}
-        y_prev = x.apply_linear(_selection_matrix([0], n))
-        for k in range(2, n + 1):
-            xk = x.apply_linear(_selection_matrix([k - 1], n))
+        w = np.ones(n) if self.p is None else self.p
+        idx = np.flatnonzero(w > 0)
+        if idx.size == 1:
+            return x.apply_linear(_selection_matrix([int(idx[0])], n))
+        # y_1 = x_{i1}; y_k <= x_{ik}^{a_k} y_{k-1}^{1-a_k} with
+        # a_k = w_{ik} / (w_{i1} + ... + w_{ik}) — telescopes to
+        # prod x^{w/sum(w)}
+        cum = np.cumsum(w[idx])
+        y_prev = x.apply_linear(_selection_matrix([int(idx[0])], n))
+        for j in range(1, idx.size):
+            xk = x.apply_linear(_selection_matrix([int(idx[j])], n))
             yk = _aux(ctx, 1)
-            ctx.add_pow(xk, y_prev, yk, 1.0 / k)
+            ctx.add_pow(xk, y_prev, yk, float(w[idx[j]] / cum[j]))
             y_prev = yk
         return y_prev
 
+    @property
+    def value(self):
+        v = self.args[0].value
+        if v is None:
+            return None
+        v = np.asarray(v, dtype=np.float64).reshape(-1)
+        w = np.ones(v.size) if self.p is None else self.p
+        w = w / w.sum()
+        return float(np.prod(v ** w))
 
-def geo_mean(expr) -> Expression:
-    return GeoMean(as_expression(expr))
+
+def geo_mean(expr, p=None) -> Expression:
+    return GeoMean(as_expression(expr), p)
 
 
 class Perspective(Atom):

@@ -83,12 +83,12 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
     symmetric block-diagonal, so J/J' matvecs cost O(mn + sum block^2)
     and the (n+m)^2 Jacobian is never materialized (solver/linsolve.py
     has the measured motivation)."""
-    from ..cones.jacobians import make_cone_dproj_apply
+    from ..cones.jacobians import make_cone_dproj_factored
     from .linsolve import _cg_normal, _cg_spd
 
     m = dims.total
     _, jacobian, _ = make_kkt(dims, n)
-    dapply = make_cone_dproj_apply(dims)
+    dfactor, dapply_f = make_cone_dproj_factored(dims)
     # The Schur split regularizes P with sigma ~ 1e-6 and computes
     # v1 = (P + sigma I)^{-1}(r1 + A0'u); along null(P) that is a 1/sigma
     # amplification of f32 cancellation noise (~1e-7 -> ~1e-1 relative
@@ -183,9 +183,15 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
             )
             return jax.lax.cond(good, lambda _: sol_ok, _reg_lstsq, None)
 
+        # factor the projection Jacobian ONCE per solve: w is fixed for
+        # every CG matvec, and the exp/pow root-finds + PSD eigh hidden
+        # in an unfactored dapply dominated polish latency when recomputed
+        # per matvec (XLA does not hoist them out of the CG scan)
+        dstate = dfactor(w)
+
         def mv(v):
             v1, v2 = v[:n], v[n:]
-            Dv2 = dapply(w, v2)
+            Dv2 = dapply_f(dstate, v2)
             return jnp.concatenate(
                 [P @ v1 + A.T @ (Dv2 - v2), A @ v1 + Dv2]
             )
@@ -194,7 +200,7 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
             u1, u2 = u[:n], u[n:]
             Au1 = A @ u1
             return jnp.concatenate(
-                [P @ u1 + A.T @ u2, dapply(w, Au1 + u2) - Au1]
+                [P @ u1 + A.T @ u2, dapply_f(dstate, Au1 + u2) - Au1]
             )
 
         def solve_once(r):

@@ -345,3 +345,43 @@ class TestPerspective:
         s = ct.Variable()
         bad = ct.perspective(ct.sum_squares(x), ct.square(s))
         assert bad.curvature() is ct.expressions.expression.Curvature.UNKNOWN
+
+
+class TestWeightedGeoMean:
+    def test_weighted(self):
+        x = ct.Variable(4)
+        p = ct.Parameter(4)
+        t = ct.Variable()
+        w = [1.0, 2.0, 0.0, 3.5]
+        prob = ct.Problem(
+            ct.Maximize(t), [t <= ct.geo_mean(x, w), x == p]
+        )
+        layer = CvxpyLayer(prob, parameters=[p], variables=[t])
+        pv = np.array([0.5, 1.2, 9.9, 2.0])
+        (tv,) = layer(jnp.asarray(pv))
+        wn = np.array(w) / np.sum(w)
+        want = np.prod(pv ** wn)
+        np.testing.assert_allclose(float(tv), want, atol=1e-6)
+        g = jax.grad(lambda q: layer(q)[0])(jnp.asarray(pv))
+        np.testing.assert_allclose(np.asarray(g), want * wn / pv, atol=1e-5)
+
+    def test_single_weight(self):
+        x = ct.Variable(4)
+        p = ct.Parameter(4)
+        t = ct.Variable()
+        prob = ct.Problem(
+            ct.Maximize(t), [t <= ct.geo_mean(x, [0, 0, 1, 0]), x == p]
+        )
+        layer = CvxpyLayer(prob, parameters=[p], variables=[t])
+        pv = np.array([0.5, 1.2, 9.9, 2.0])
+        (tv,) = layer(jnp.asarray(pv))
+        np.testing.assert_allclose(float(tv), pv[2], atol=1e-6)
+
+    def test_bad_weights(self):
+        x = ct.Variable(3)
+        import pytest
+
+        with pytest.raises(ValueError):
+            ct.geo_mean(x, [1.0, -1.0, 1.0])
+        with pytest.raises(ValueError):
+            ct.geo_mean(x, [1.0, 1.0])
