@@ -66,26 +66,17 @@ def make_refiner(dims: ConeDims, n: int, steps: int,
                 )
             f0 = jnp.linalg.norm(F)
 
-            # evaluate the whole damping ladder in ONE vmapped residual
-            # call: each residual hides the cone projection root-finds,
-            # whose sequential-scan latency dominates on TPU — batching
-            # the candidates pays that latency once instead of
-            # len(dirs) * len(_DAMPINGS) times
-            damp = jnp.asarray(_DAMPINGS, F.dtype)
-            dirs_arr = jnp.stack(dirs)  # (ndir, n+m)
-            cand = (
-                jnp.concatenate([x_, w_])[None, None, :]
-                + damp[None, :, None] * dirs_arr[:, None, :]
-            ).reshape(-1, n + m)
-            cf = jax.vmap(
-                lambda c: jnp.linalg.norm(residual(c[:n], c[n:], P, q, A, b))
-            )(cand)
-            cf = jnp.where(jnp.isfinite(cf), cf, jnp.inf)
-            k = jnp.argmin(cf)
-            take = cf[k] < f0
-            best_x = jnp.where(take, cand[k, :n], x_)
-            best_w = jnp.where(take, cand[k, n:], w_)
-            best_f = jnp.minimum(cf[k], f0)
+            best_x, best_w, best_f = x_, w_, f0
+            for d in dirs:
+                for a in _DAMPINGS:
+                    cx = x_ + a * d[:n]
+                    cw = w_ + a * d[n:]
+                    cf = jnp.linalg.norm(residual(cx, cw, P, q, A, b))
+                    cf = jnp.where(jnp.isfinite(cf), cf, jnp.inf)
+                    take = cf < best_f
+                    best_x = jnp.where(take, cx, best_x)
+                    best_w = jnp.where(take, cw, best_w)
+                    best_f = jnp.where(take, cf, best_f)
 
             # global best-iterate tracking (what the refiner returns)
             upd = best_f < bf
