@@ -221,12 +221,18 @@ def cpu_baseline():
     hv = jnp.asarray(np.abs(rng.standard_normal(m_ineq)) + 1.0)
     g = step(vv, Gv, hv)
     _jax.block_until_ready(g)
-    reps = 20
-    t0 = time.perf_counter()
-    for i in range(reps):
-        g = step(vv, Gv, hv)
-    _jax.block_until_ready(g)
-    per_core = reps / (time.perf_counter() - t0)
+    # the host is shared/noisy: take the FASTEST of several windows as
+    # the baseline's per-core rate (favors the baseline, so the reported
+    # ratio is a stable lower bound)
+    reps, windows = 10, 5
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            g = step(vv, Gv, hv)
+        _jax.block_until_ready(g)
+        best = max(best, reps / (time.perf_counter() - t0))
+    per_core = best
     cores = os.cpu_count() or 1
     print(json.dumps({
         "solves_per_s_per_core": round(per_core, 2),
