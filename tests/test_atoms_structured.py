@@ -255,3 +255,94 @@ class TestValidation:
         X = ct.Variable((1, 5))
         with pytest.raises(Exception):
             ct.tv(X)
+
+
+class TestSuppFunc:
+    """sigma_S via sandbox dualization (expressions/atoms/suppfunc.py):
+    closed-form support functions of box/ball/simplex/spectrahedron."""
+
+    def _pinned(self, f, pv, shape=None):
+        shape = shape if shape is not None else np.shape(pv)
+        x = ct.Variable(shape)
+        p = ct.Parameter(shape)
+        t = ct.Variable()
+        prob = ct.Problem(ct.Minimize(t), [x == p, f(x) <= t])
+        layer = CvxpyLayer(prob, parameters=[p], variables=[t])
+        (ts,) = layer(jnp.asarray(pv))
+        return float(ts)
+
+    def test_box_is_l1(self):
+        pv = rng.standard_normal(4)
+        y = ct.Variable(4)
+        f = ct.suppfunc(y, [y <= 1, y >= -1])
+        np.testing.assert_allclose(
+            self._pinned(f, pv), np.abs(pv).sum(), atol=1e-7
+        )
+
+    def test_ball_is_l2(self):
+        pv = rng.standard_normal(4)
+        y = ct.Variable(4)
+        f = ct.suppfunc(y, [ct.norm(y, 2) <= 1])
+        np.testing.assert_allclose(
+            self._pinned(f, pv), np.linalg.norm(pv), atol=1e-7
+        )
+
+    def test_simplex_is_max(self):
+        pv = rng.standard_normal(4)
+        y = ct.Variable(4, nonneg=True)
+        f = ct.suppfunc(y, [ct.sum(y) == 1])
+        np.testing.assert_allclose(
+            self._pinned(f, pv), pv.max(), atol=1e-7
+        )
+
+    def test_param_box_gradient(self):
+        # S = [0, b]^n: sigma(x) = sum b*pos(x); d sigma / d b = pos(x)
+        n = 4
+        pv = rng.standard_normal(n)
+        bv = np.abs(rng.standard_normal(n)) + 0.5
+        y = ct.Variable(n)
+        b = ct.Parameter(n, pos=True)
+        x = ct.Variable(n)
+        p = ct.Parameter(n)
+        t = ct.Variable()
+        f = ct.suppfunc(y, [y >= 0, y <= b])
+        prob = ct.Problem(ct.Minimize(t), [x == p, f(x) <= t])
+        layer = CvxpyLayer(prob, parameters=[p, b], variables=[t])
+        (ts,) = layer(jnp.asarray(pv), jnp.asarray(bv))
+        np.testing.assert_allclose(
+            float(ts), np.sum(bv * np.maximum(pv, 0)), atol=1e-7
+        )
+        g = jax.grad(lambda b_: layer(jnp.asarray(pv), b_)[0])(
+            jnp.asarray(bv)
+        )
+        np.testing.assert_allclose(
+            np.asarray(g), np.maximum(pv, 0), atol=1e-6
+        )
+
+    def test_spectrahedron_is_lambda_max(self):
+        m = 3
+        Q = rng.standard_normal((m, m))
+        X = (Q + Q.T) / 2
+        Y = ct.Variable((m, m))
+        f = ct.suppfunc(Y, [ct.PSD(Y), ct.trace(Y) <= 1])
+        got = self._pinned(f, X)
+        np.testing.assert_allclose(
+            got, max(np.linalg.eigvalsh(X).max(), 0.0), atol=1e-6
+        )
+
+    def test_rejections(self):
+        import pytest
+
+        y = ct.Variable(3)
+        z = ct.Variable(3)
+        with pytest.raises(ValueError):
+            ct.suppfunc(y, [y + z >= 0])(ct.Variable(3))
+        yexp = ct.Variable(3)
+        f = ct.suppfunc(yexp, [ct.sum(ct.exp(yexp)) <= 1])
+        x = ct.Variable(3)
+        p = ct.Parameter(3)
+        with pytest.raises(ValueError):
+            CvxpyLayer(
+                ct.Problem(ct.Minimize(f(x)), [x == p]),
+                parameters=[p], variables=[x],
+            )
