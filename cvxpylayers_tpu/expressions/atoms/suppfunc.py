@@ -18,9 +18,14 @@ gives the exact epigraph
 
 The window blocks are *popped* (they describe S, they are not problem
 constraints); the dual variable nu is materialized per block with its
-cone appended directly. Supported set cones are the self-dual family
-zero/nonneg/SOC/PSD (in svec coordinates the PSD cone is self-dual);
-exp/pow sets would need their non-self-dual duals and are rejected.
+cone appended directly. zero/nonneg/SOC/PSD are (anti-)self-dual (PSD in
+svec coordinates); the exp and pow dual cones are LINEAR images of their
+primals —
+
+    (u, v, w) in Kexp*    <=>  (u - v, -u, w) in Kexp
+    (u, v, w) in Kpow(a)* <=>  (u/a, v/(1-a), w) in Kpow(a)
+
+— so every cone family the framework supports can describe S.
 """
 
 from __future__ import annotations
@@ -116,19 +121,54 @@ class SuppFunc(Atom):
 
         gt_rows, gt_vars, gt_pars, gt_vals = [], [], [], []
         h_vars, h_pars, h_vals = [], [], []
+        import scipy.sparse as sp
+
         for b in popped:
-            if b.kind in ("exp", "pow"):
-                raise ValueError(
-                    "suppfunc sets described by exp/pow cones are not "
-                    "supported (non-self-dual cones)"
-                )
             rep = b.rep
             nu_off = ctx.new_aux(rep.n_rows)
-            if b.kind != "zero":  # dual of {0} is free
+            nu = TensorRep.variable(rep.n_rows, nu_off)
+            if b.kind in ("nonneg", "soc", "psd"):  # self-dual
                 getattr(ctx, b.kind + "_blocks").append(
-                    ConeBlock(b.kind, TensorRep.variable(rep.n_rows, nu_off),
-                              b.meta)
+                    ConeBlock(b.kind, nu, b.meta)
                 )
+            elif b.kind == "exp":
+                # Kexp* is the linear image (u-v, -u, w) in Kexp
+                nt = b.meta  # number of (u, v, w) triples
+                rows3 = rep.n_rows
+                Su = sp.csr_matrix(
+                    (np.ones(nt), (np.arange(nt), 3 * np.arange(nt))),
+                    shape=(nt, rows3))
+                Sv = sp.csr_matrix(
+                    (np.ones(nt), (np.arange(nt), 3 * np.arange(nt) + 1)),
+                    shape=(nt, rows3))
+                Sw = sp.csr_matrix(
+                    (np.ones(nt), (np.arange(nt), 3 * np.arange(nt) + 2)),
+                    shape=(nt, rows3))
+                ctx.add_exp(
+                    nu.apply_linear(Su - Sv),
+                    nu.apply_linear(Su).neg(),
+                    nu.apply_linear(Sw),
+                )
+            elif b.kind == "pow":
+                # Kpow(a)* = diag(1/a, 1/(1-a), 1) Kpow(a)
+                alphas = np.asarray(b.meta, dtype=np.float64)
+                nt = alphas.size
+                rows3 = rep.n_rows
+                Su = sp.csr_matrix(
+                    (1.0 / alphas, (np.arange(nt), 3 * np.arange(nt))),
+                    shape=(nt, rows3))
+                Sv = sp.csr_matrix(
+                    (1.0 / (1.0 - alphas),
+                     (np.arange(nt), 3 * np.arange(nt) + 1)),
+                    shape=(nt, rows3))
+                Sw = sp.csr_matrix(
+                    (np.ones(nt), (np.arange(nt), 3 * np.arange(nt) + 2)),
+                    shape=(nt, rows3))
+                ctx.add_pow(
+                    nu.apply_linear(Su), nu.apply_linear(Sv),
+                    nu.apply_linear(Sw), alphas,
+                )
+            # b.kind == "zero": dual of {0} is free — no cone constraint
             const_mask = rep.var_cols == CONST
             h_vars.append(nu_off + rep.rows[const_mask])
             h_pars.append(rep.param_cols[const_mask])

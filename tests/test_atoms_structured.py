@@ -330,19 +330,45 @@ class TestSuppFunc:
             got, max(np.linalg.eigvalsh(X).max(), 0.0), atol=1e-6
         )
 
-    def test_rejections(self):
-        import pytest
+    def test_entropy_ball(self):
+        # exp-cone set via the dual-exp linear image:
+        # S = {y in simplex : entropy(y) >= 0.9}; oracle = SLSQP sup
+        from scipy.optimize import minimize
 
+        n = 4
+        pv = rng.standard_normal(n)
+        y = ct.Variable(n, nonneg=True)
+        f = ct.suppfunc(
+            y, [ct.sum(y) == 1, ct.sum(ct.entr(y)) >= 0.9]
+        )
+        got = self._pinned(f, pv)
+        cons = [
+            {"type": "eq", "fun": lambda z: z.sum() - 1},
+            {"type": "ineq",
+             "fun": lambda z:
+                 -(z * np.log(np.maximum(z, 1e-300))).sum() - 0.9},
+        ]
+        r = minimize(lambda z: -pv @ z, np.ones(n) / n,
+                     bounds=[(1e-9, None)] * n, constraints=cons,
+                     method="SLSQP",
+                     options={"maxiter": 500, "ftol": 1e-14})
+        np.testing.assert_allclose(got, -r.fun, atol=1e-6)
+
+    def test_pnorm_ball_dual_norm(self):
+        # pow-cone set via the dual-pow scaling: sigma of the p-ball is
+        # the dual norm
+        n = 5
+        pv = rng.standard_normal(n)
+        y = ct.Variable(n)
+        f = ct.suppfunc(y, [ct.pnorm(y, 3) <= 1])
+        got = self._pinned(f, pv)
+        want = np.sum(np.abs(pv) ** 1.5) ** (1 / 1.5)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_rejections(self):
         y = ct.Variable(3)
         z = ct.Variable(3)
         with pytest.raises(ValueError):
             ct.suppfunc(y, [y + z >= 0])(ct.Variable(3))
-        yexp = ct.Variable(3)
-        f = ct.suppfunc(yexp, [ct.sum(ct.exp(yexp)) <= 1])
-        x = ct.Variable(3)
-        p = ct.Parameter(3)
         with pytest.raises(ValueError):
-            CvxpyLayer(
-                ct.Problem(ct.Minimize(f(x)), [x == p]),
-                parameters=[p], variables=[x],
-            )
+            ct.suppfunc(y, [y >= 0])(ct.Variable(4))
