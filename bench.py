@@ -88,7 +88,10 @@ def _build_layers(ct):
         jnp.asarray(rng.standard_normal((B, m_ineq, n)) * 0.3, dtype),
         jnp.asarray(np.abs(rng.standard_normal((B, m_ineq))) + 1.0, dtype),
     )
-    cfgs["box_qp"] = (qp, qp_params, _tuned_args(), B)
+    # schur_iters=8: the exact-Schur CG hits the f32 floor by ~8
+    # iterations on this problem class (p99 |x - x_ref| ~ 6e-8, measured
+    # on v5e); the auto default leaves margin for unknown problems
+    cfgs["box_qp"] = (qp, qp_params, _tuned_args({"schur_iters": 8}), B)
 
     # ---- 3. Markowitz SOCP with risk budget (second-order cone)
     n, k = 50, 10
@@ -151,8 +154,12 @@ def _build_layers(ct):
         jnp.asarray(np.abs(rng.standard_normal(B)) + 3.0, dtype),
         jnp.asarray(rng.uniform(0.3, 0.9, B), dtype),
     )
+    # the GP KKT system is tiny (3 vars + exp-cone aux): CG converges in
+    # ~12 iterations; 15 leaves margin (measured 1.9x vs the default 40
+    # at solved=1.0 on v5e)
     cfgs["gp"] = (
-        gp, gp_params, _tuned_args({"max_iters": 300, "epoch": 100}), B,
+        gp, gp_params,
+        _tuned_args({"max_iters": 300, "epoch": 100, "cg_iters": 15}), B,
     )
     return cfgs
 
