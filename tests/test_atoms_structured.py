@@ -372,3 +372,77 @@ class TestSuppFunc:
             ct.suppfunc(y, [y + z >= 0])(ct.Variable(3))
         with pytest.raises(ValueError):
             ct.suppfunc(y, [y >= 0])(ct.Variable(4))
+
+
+class TestPartialOptimize:
+    """inf/sup-projection expression (expressions/atoms/
+    partial_optimize.py) against closed-form envelopes."""
+
+    def test_moreau_envelope(self):
+        # inf_z ||z-x||^2 + ||z-a||^2 = 0.5 ||x-a||^2
+        n = 4
+        x = ct.Variable(n)
+        z = ct.Variable(n)
+        a = ct.Parameter(n)
+        p = ct.Parameter(n)
+        t = ct.Variable()
+        inner = ct.Problem(
+            ct.Minimize(ct.sum_squares(z - x) + ct.sum_squares(z - a))
+        )
+        g = ct.partial_optimize(inner, opt_vars=[z])
+        prob = ct.Problem(ct.Minimize(t), [x == p, g <= t])
+        layer = CvxpyLayer(prob, parameters=[p, a], variables=[t])
+        pv = rng.standard_normal(n)
+        av = rng.standard_normal(n)
+        (ts,) = layer(jnp.asarray(pv), jnp.asarray(av))
+        np.testing.assert_allclose(
+            float(ts), 0.5 * np.sum((pv - av) ** 2), atol=1e-7
+        )
+        ga = jax.grad(lambda a_: layer(jnp.asarray(pv), a_)[0])(
+            jnp.asarray(av)
+        )
+        np.testing.assert_allclose(np.asarray(ga), -(pv - av), atol=1e-6)
+
+    def test_coupled_constraints(self):
+        # inf_z {c'z : z >= x} = c'x for c >= 0 (dont_opt_vars form)
+        n = 4
+        x = ct.Variable(n)
+        z = ct.Variable(n)
+        p = ct.Parameter(n)
+        t = ct.Variable()
+        cvec = np.abs(rng.standard_normal(n)) + 0.1
+        inner = ct.Problem(
+            ct.Minimize(ct.Constant(cvec) @ z), [z >= x]
+        )
+        g = ct.partial_optimize(inner, dont_opt_vars=[x])
+        prob = ct.Problem(ct.Minimize(t), [x == p, g <= t])
+        layer = CvxpyLayer(prob, parameters=[p], variables=[t])
+        pv = rng.standard_normal(n)
+        (ts,) = layer(jnp.asarray(pv))
+        np.testing.assert_allclose(float(ts), cvec @ pv, atol=1e-7)
+
+    def test_sup_concave(self):
+        # sup_z {-||z||^2 - ||z-x||^2} = -||x||^2 / 2
+        n = 4
+        x = ct.Variable(n)
+        z = ct.Variable(n)
+        p = ct.Parameter(n)
+        t = ct.Variable()
+        inner = ct.Problem(
+            ct.Maximize(-ct.sum_squares(z) - ct.sum_squares(z - x))
+        )
+        h = ct.partial_optimize(inner, opt_vars=[z])
+        prob = ct.Problem(ct.Maximize(t), [x == p, h >= t])
+        layer = CvxpyLayer(prob, parameters=[p], variables=[t])
+        pv = rng.standard_normal(n)
+        (ts,) = layer(jnp.asarray(pv))
+        np.testing.assert_allclose(
+            float(ts), -0.5 * np.sum(pv ** 2), atol=1e-7
+        )
+
+    def test_rejects_bilinear(self):
+        z = ct.Variable(3)
+        x = ct.Variable(3)
+        inner = ct.Problem(ct.Maximize(-ct.sum_squares(z) + x @ z))
+        with pytest.raises(ValueError):
+            ct.partial_optimize(inner, opt_vars=[z])
