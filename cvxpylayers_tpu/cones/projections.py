@@ -40,10 +40,49 @@ from .dims import ConeDims
 
 
 def _root_iters(dtype):
-    """(expand, bisect) scan lengths for the given dtype."""
+    """(expand, bisect) scan lengths for the given dtype, sized to land
+    the bracket inside the trailing symbolic-Newton basin (not at
+    machine eps): caps bound the bracket width by ~60 (f32) / ~600
+    (f64), so 30 / 60 halvings reach ~6e-8 / ~5e-16."""
     if dtype == jnp.float32:
         return 8, 30
     return 12, 60
+
+
+def _pow_root_iters(dtype):
+    """Safeguarded-Newton budget for the power-cone root (its residual is
+    algebraic, so Newton converges in a handful of steps; measured Moreau
+    orthogonality 2e-16 f64 / 9e-8 f32 at these budgets)."""
+    return 10 if dtype == jnp.float32 else 18
+
+
+def _newton_bisect(h_fn, lo, hi, iters):
+    """Root of the increasing function h on [lo, hi] by safeguarded
+    Newton: each step takes the Newton iterate when it stays strictly
+    inside the current bracket, a bisection midpoint otherwise. One
+    h-and-derivative evaluation per iteration (sequential VPU latency is
+    what these scans cost on TPU — see _root_iters)."""
+    import jax as _jax
+
+    h_and_dh = _jax.value_and_grad(h_fn)
+    x0 = 0.5 * (lo + hi)
+
+    def body(state, _):
+        lo_, hi_, x_ = state
+        hx, dhx = h_and_dh(x_)
+        hx = jnp.where(jnp.isfinite(hx), hx, jnp.inf)
+        # h increasing: h(x) > 0 -> root left of x
+        lo_n = jnp.where(hx > 0, lo_, x_)
+        hi_n = jnp.where(hx > 0, x_, hi_)
+        newton = jnp.where(
+            jnp.abs(dhx) > 1e-300, x_ - hx / dhx, lo_n - 1.0
+        )
+        inside = (newton > lo_n) & (newton < hi_n) & jnp.isfinite(newton)
+        xn = jnp.where(inside, newton, 0.5 * (lo_n + hi_n))
+        return (lo_n, hi_n, xn), None
+
+    (_, _, x), _ = jax.lax.scan(body, (lo, hi, x0), None, length=iters)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -176,6 +215,8 @@ def _exp_solve_root(r0, s0, t0):
         expand, (lo, hi, h_lo, h_hi), None, length=n_expand
     )
 
+    # pure bisection: Newton on h crawls (h ~ +-e^{|a|} far from the
+    # root makes Newton steps O(1) long), while halvings are guaranteed
     def bisect(state, _):
         lo_, hi_, hlo_ = state
         mid = 0.5 * (lo_ + hi_)
@@ -205,13 +246,27 @@ def project_exp(v: jax.Array) -> jax.Array:
     degenerate = (r0 <= 0) & (s0 <= 0)
 
     a0 = jax.lax.stop_gradient(_exp_solve_root(r0, s0, t0))
-    # Two symbolic Newton steps: differentiable in (r0, s0, t0), so autodiff
+    # Symbolic Newton steps: differentiable in (r0, s0, t0), so autodiff
     # yields the implicit-function derivative of the root a*(v0).
-    for _ in range(2):
+    for _ in range(3):
         h = _exp_h(a0, r0, s0, t0)
         dh = jax.grad(_exp_h, argnums=0)(a0, r0, s0, t0)
         a0 = a0 - h / jnp.where(jnp.abs(dh) > 1e-12, dh, 1.0)
     boundary = _exp_boundary_point(a0, r0, s0, t0)
+
+    # Safety net for the exponential cliff: when the root a* is large,
+    # y* ~ t0 e^{-a} is unrepresentable next to the cancellation error of
+    # (a-1) r0 + s0 and the parametrized boundary point explodes (z = y
+    # e^a picks up e^{a} times that error). The y = 0 face point
+    # (min(r0,0), 0, t0+) is always in cl(Kexp) and IS the limit of the
+    # boundary there — take whichever candidate is closer to v.
+    face = jnp.stack(
+        [jnp.minimum(r0, 0.0), jnp.zeros_like(s0), jnp.maximum(t0, 0.0)]
+    )
+    b_ok = jnp.all(jnp.isfinite(boundary))
+    d_b = jnp.where(b_ok, jnp.sum((v - boundary) ** 2), jnp.inf)
+    d_f = jnp.sum((v - face) ** 2)
+    boundary = jnp.where(b_ok & (d_b <= d_f), boundary, face)
 
     degenerate_proj = jnp.stack([r0, jnp.zeros_like(s0), jnp.maximum(t0, 0.0)])
 
@@ -293,23 +348,14 @@ def project_pow3(v: jax.Array, alpha) -> jax.Array:
     # separate branch.
     az_safe = jnp.maximum(az, 1e-30)
 
-    def bisect_root():
-        lo = jnp.zeros_like(az_safe)
-        hi = az_safe
-
-        def body(state, _):
-            lo_, hi_ = state
-            mid = 0.5 * (lo_ + hi_)
-            gmid = _pow_g(mid, x0, y0, az_safe, alpha)
-            # g(0+) >= 0, g(az) <= 0 (g decreasing): root where g crosses 0.
-            take_lo = gmid > 0
-            return (jnp.where(take_lo, mid, lo_), jnp.where(take_lo, hi_, mid)), None
-
-        (lo_, hi_), _ = jax.lax.scan(body, (lo, hi), None,
-                                     length=_root_iters(v.dtype)[1])
-        return 0.5 * (lo_ + hi_)
-
-    r = jax.lax.stop_gradient(bisect_root())
+    # g(0+) >= 0, g(az) <= 0 (g decreasing): run safeguarded Newton on
+    # the increasing -g over (0, az)
+    r = jax.lax.stop_gradient(
+        _newton_bisect(
+            lambda rr: -_pow_g(rr, x0, y0, az_safe, alpha),
+            jnp.zeros_like(az_safe), az_safe, _pow_root_iters(v.dtype),
+        )
+    )
     # Symbolic Newton refinement for implicit differentiation.
     for _ in range(2):
         g = _pow_g(r, x0, y0, az_safe, alpha)

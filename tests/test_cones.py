@@ -305,3 +305,49 @@ class TestClosedFormJacobians:
             np.testing.assert_allclose(
                 np.asarray(f_closed(v)), np.asarray(f_ad(v)), atol=1e-8
             )
+
+
+class TestExpCliffRegression:
+    """Extreme-input regression for the exp projection: inputs whose
+    boundary root a* is large made the parametrized point y*e^{a*} blow
+    up by ~e^{a} x cancellation error (latent since round 1, found by a
+    20k-point Moreau sweep); the y=0 face safety net bounds it."""
+
+    def test_moreau_orthogonality_sweep(self):
+        from cvxpylayers_tpu.cones.projections import project_exp
+
+        rng = np.random.default_rng(0)
+        N = 5000
+        V = rng.standard_normal((N, 3)) * (10.0 ** rng.uniform(-2, 2, (N, 1)))
+        P = np.asarray(jax.jit(jax.vmap(project_exp))(jnp.asarray(V)))
+        D = V - P
+        ortho = np.abs(np.sum(P * D, axis=1)) / np.maximum(
+            1.0, np.sum(V * V, axis=1)
+        )
+        assert ortho.max() < 1e-6, ortho.max()
+        # membership: s e^{r/s} <= t (s > 0) or the y=0 face
+        r, s, t = P[:, 0], P[:, 1], P[:, 2]
+        tol = 1e-8 * np.maximum(1, np.abs(V).max(1))
+        viol = np.where(
+            s > 1e-12,
+            s * np.exp(np.minimum(r / np.maximum(s, 1e-12), 50)) - t,
+            np.where((np.abs(s) <= tol) & (r <= tol) & (t >= -tol),
+                     0.0, 1.0),
+        )
+        assert np.maximum(viol, 0).max() < 1e-10
+
+    def test_known_cliff_points(self):
+        from cvxpylayers_tpu.cones.projections import project_exp
+
+        for v in ([0.12754856, -30.64533796, 0.15325743],
+                  [0.0027298, -0.65002007, 0.18004724],
+                  [0.00070501, -0.11257819, 0.35997929]):
+            v = jnp.asarray(v)
+            p = project_exp(v)
+            assert np.all(np.isfinite(np.asarray(p)))
+            # projection is no farther than the y=0 face point
+            face = np.array([min(float(v[0]), 0.0), 0.0,
+                             max(float(v[2]), 0.0)])
+            d_p = float(jnp.sum((v - p) ** 2))
+            d_f = float(np.sum((np.asarray(v) - face) ** 2))
+            assert d_p <= d_f + 1e-12
