@@ -106,3 +106,21 @@ def test_example_resource_allocation(capsys):
     runpy.run_path(str(REPO / "examples" / "resource_allocation.py"),
                    run_name="__main__")
     assert "final fit loss" in capsys.readouterr().out
+
+
+def test_example_stiffness_tuning(capsys):
+    runpy.run_path(str(REPO / "examples" / "stiffness_tuning.py"),
+                   run_name="__main__")
+    assert "stiffness tuning" in capsys.readouterr().out
+
+
+def test_example_supply_chain(capsys):
+    runpy.run_path(str(REPO / "examples" / "supply_chain.py"),
+                   run_name="__main__")
+    assert "avg stage cost" in capsys.readouterr().out
+
+
+def test_example_vehicle_control(capsys):
+    runpy.run_path(str(REPO / "examples" / "vehicle_control.py"),
+                   run_name="__main__")
+    assert "vehicle ADP" in capsys.readouterr().out
