@@ -123,3 +123,43 @@ class TestTorchWarmStart:
         (xs,) = layer(torch.randn(5, n, dtype=torch.float64),
                       warm_start=True)
         assert xs.shape == (5, n)
+
+
+class TestTorchTransforms:
+    """The perspective / suppfunc / partial_optimize transforms are
+    canon-level, so the torch frontend gets them for free — prove it."""
+
+    def test_perspective_quad_over_lin(self):
+        x = ct.Variable(3)
+        s = ct.Variable()
+        p = ct.Parameter(3)
+        q = ct.Parameter()
+        t = ct.Variable()
+        prob = ct.Problem(
+            ct.Minimize(t),
+            [t >= ct.perspective(ct.sum_squares(x), s), x == p, s == q],
+        )
+        layer = TorchLayer(prob, parameters=[p, q], variables=[t])
+        pv = torch.tensor([1.0, -2.0, 0.5], dtype=torch.float64,
+                          requires_grad=True)
+        qv = torch.tensor(2.0, dtype=torch.float64, requires_grad=True)
+        (tv,) = layer(pv, qv)
+        want = float((pv ** 2).sum() / qv)
+        assert abs(float(tv) - want) < 1e-6
+        tv.backward()
+        np.testing.assert_allclose(
+            pv.grad.numpy(), 2 * pv.detach().numpy() / float(qv),
+            atol=1e-5,
+        )
+
+    def test_suppfunc_box(self):
+        y = ct.Variable(4)
+        f = ct.suppfunc(y, [y <= 1, y >= -1])
+        x = ct.Variable(4)
+        p = ct.Parameter(4)
+        t = ct.Variable()
+        prob = ct.Problem(ct.Minimize(t), [x == p, f(x) <= t])
+        layer = TorchLayer(prob, parameters=[p], variables=[t])
+        pv = torch.randn(4, dtype=torch.float64)
+        (tv,) = layer(pv)
+        assert abs(float(tv) - float(pv.abs().sum())) < 1e-6
