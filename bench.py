@@ -191,6 +191,37 @@ def _measure(layer, params, sargs, B, iters=5, check_solved=False):
     return thr, frac
 
 
+def _kkt_microbench(ct, B=1024, n=50, m=121):
+    """us per batched KKT solve (factor + solve, f32 Schur path) at the
+    headline box-QP dimensions (n vars, m = 20 + 2n + 1 cone rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvxpylayers_tpu.cones.dims import ConeDims
+    from cvxpylayers_tpu.solver.kkt import make_kkt_solver
+
+    rng = np.random.default_rng(0)
+    dims = ConeDims(zero=0, nonneg=m, soc=(), exp=0, psd=(), pow3=())
+    solve = make_kkt_solver(dims, n, schur_iters=8)
+    Ms = jnp.asarray(rng.standard_normal((B, n, n)) * 0.3, jnp.float32)
+    P = jnp.einsum("bij,bkj->bik", Ms, Ms) + 2.0 * jnp.eye(n, dtype=jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    A = jnp.asarray(rng.standard_normal((B, m, n)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((B, m)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((B, m)), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((B, n + m)), jnp.float32)
+    f = jax.jit(jax.vmap(lambda x_, w_, P_, q_, A_, b_, r_: solve(
+        x_, w_, P_, q_, A_, b_, r_)))
+    out = f(x, w, P, q, A, b, rhs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = f(x, w, P, q, A, b, rhs)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / 10 / B * 1e6
+
+
 def cpu_baseline():
     """Reference-architecture throughput on this host's CPU: a
     per-instance jitted solve loop (f64, like diffcp), scaled by core
@@ -266,6 +297,16 @@ def main():
             results[name] = f"error: {type(e).__name__}: {e}"[:200]
         print(f"# {name}: {results[name]} (solved {solved.get(name)})",
               file=sys.stderr, flush=True)
+
+    # KKT solve time per instance (BASELINE primary metric companion):
+    # one exact-Schur Newton-direction solve on the headline QP shapes,
+    # batched 1024, measured on-chip
+    try:
+        results["kkt_solve_us_per_instance"] = round(
+            _kkt_microbench(ct), 3
+        )
+    except Exception as e:
+        results["kkt_solve_us_per_instance"] = f"error: {e}"[:120]
 
     # single-instance LAD latency (config 1's literal form)
     lad, lad_params, sargs, _ = cfgs["lad"]
