@@ -174,3 +174,58 @@ def test_random_sdp_min_eig(trial):
         float(np.trace(C @ np.asarray(Xs))),
         np.linalg.eigvalsh(C)[0], atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_random_perspective_quad(trial):
+    """persp(||x - a||^2, s)(p, q) = q * ||p/q - a||^2 = ||p - q a||^2 / q
+    for random a, p, q (the constant a is homogenized by s)."""
+    rng = np.random.default_rng(100 + trial)
+    n = int(rng.integers(2, 6))
+    a = rng.standard_normal(n)
+    x = ct.Variable(n)
+    s = ct.Variable()
+    p = ct.Parameter(n)
+    q = ct.Parameter()
+    t = ct.Variable()
+    prob = ct.Problem(
+        ct.Minimize(t),
+        [t >= ct.perspective(ct.sum_squares(x - ct.Constant(a)), s),
+         x == p, s == q],
+    )
+    layer = ct.CvxpyLayer(prob, parameters=[p, q], variables=[t])
+    pv = rng.standard_normal(n)
+    qv = float(rng.uniform(0.5, 3.0))
+    (tv,) = layer(jnp.asarray(pv), jnp.asarray(qv))
+    np.testing.assert_allclose(
+        float(tv), np.sum((pv - qv * a) ** 2) / qv, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_random_suppfunc_polytope(trial):
+    """sigma of a random polytope {y : Gy <= h} (bounded: box plus
+    random cuts) against a scipy linprog oracle."""
+    from scipy.optimize import linprog
+
+    rng = np.random.default_rng(200 + trial)
+    n = int(rng.integers(2, 5))
+    k = int(rng.integers(1, 4))
+    G = rng.standard_normal((k, n))
+    h = np.abs(rng.standard_normal(k)) + 0.5
+    y = ct.Variable(n)
+    f = ct.suppfunc(
+        y, [ct.Constant(G) @ y <= ct.Constant(h), y <= 1, y >= -1]
+    )
+    x = ct.Variable(n)
+    p = ct.Parameter(n)
+    t = ct.Variable()
+    prob = ct.Problem(ct.Minimize(t), [x == p, f(x) <= t])
+    layer = ct.CvxpyLayer(prob, parameters=[p], variables=[t])
+    pv = rng.standard_normal(n)
+    (tv,) = layer(jnp.asarray(pv))
+    res = linprog(-pv, A_ub=np.vstack([G, np.eye(n), -np.eye(n)]),
+                  b_ub=np.concatenate([h, np.ones(2 * n)]),
+                  bounds=[(None, None)] * n)
+    assert res.status == 0
+    np.testing.assert_allclose(float(tv), -res.fun, atol=1e-6)
