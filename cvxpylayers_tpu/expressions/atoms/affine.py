@@ -905,6 +905,16 @@ def diff(expr, k: int = 1) -> Expression:
     return _apply_matrix(expr, L, (n - k,))
 
 
+def matmul(a, b) -> Expression:
+    """Matrix product (cvxpy.matmul parity; same as the @ operator)."""
+    return as_expression(a) @ as_expression(b)
+
+
+def scalar_product(a, b) -> Expression:
+    """<a, b> = sum(multiply(a, b)) (cvxpy.scalar_product parity)."""
+    return Sum(multiply(a, b))
+
+
 def outer(x, y) -> Expression:
     """Outer product x y^T with a CONSTANT y (linear in x); cvxpy.outer
     parity for the constant-right case."""
