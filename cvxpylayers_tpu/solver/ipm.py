@@ -105,9 +105,12 @@ def _block_layout(dims: ConeDims):
     return blocks, off  # off == total inequality rows
 
 
-# geometric step-length grid for the nonsymmetric ratio test: 128 points
-# from 1.0 down to ~1e-4 (ratio ~0.93 — at most ~7% step loss/iteration)
-_GRID = 0.930572 ** np.arange(128)
+# geometric step-length grid for the nonsymmetric ratio test: 192 points
+# from 1.0 down to ~1e-6 (ratio ~0.93 — at most ~7% step loss/iteration;
+# the deep tail matters near convergence, where an exp/pow block hugging
+# its boundary otherwise reports NO feasible step and freezes the
+# iteration several digits short of the dtype's reachable accuracy)
+_GRID = 0.930572 ** np.arange(192)
 
 
 def _grid_max_step(feasible_at, dtype):
@@ -299,15 +302,21 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
 
     def build_T(s, z, mu):
         """Block-diagonal scaling T (mi x mi) with T z ~= s on the path,
-        plus its blockwise inverse (used by the condensed f32 KKT)."""
+        its blockwise inverse, and a blockwise inverse square-root factor
+        B with B' B = T^{-1} (the f32 KKT path QR-factorizes [Lp'; B A]
+        instead of Cholesky-factorizing P + A' T^{-1} A, halving the
+        exponent on cond(T) in the direction error)."""
         dtype = s.dtype
         T = jnp.zeros((mi, mi), dtype)
         Tinv = jnp.zeros((mi, mi), dtype)
+        B = jnp.zeros((mi, mi), dtype)
         if l:
             idx = jnp.arange(l)
             ratio = s[:l] / jnp.maximum(z[:l], _TINY)
             T = T.at[idx, idx].set(ratio)
-            Tinv = Tinv.at[idx, idx].set(1.0 / jnp.maximum(ratio, _TINY))
+            inv = 1.0 / jnp.maximum(ratio, _TINY)
+            Tinv = Tinv.at[idx, idx].set(inv)
+            B = B.at[idx, idx].set(jnp.sqrt(inv))
         for fam, off, meta in blocks:
             if fam == "soc":
                 d = meta
@@ -317,11 +326,16 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
                 Tinv = jax.lax.dynamic_update_slice(
                     Tinv, Wi @ Wi, (off, off)
                 )
+                # W is SPD, so Wi' Wi = Wi^2 = T^{-1}: B block is Wi
+                B = jax.lax.dynamic_update_slice(B, Wi, (off, off))
             elif fam == "psd":
                 side = meta
                 D = side * (side + 1) // 2
                 W = _psd_nt_w(s[off:off + D], z[off:off + D], side)
-                Wi = jnp.linalg.inv(W)
+                lw, Uw = jnp.linalg.eigh(W)
+                lw = jnp.maximum(lw, _TINY)
+                Wi = (Uw / lw) @ Uw.T
+                Wih = (Uw / jnp.sqrt(lw)) @ Uw.T
                 basis = jnp.eye(D, dtype=dtype)
                 Tb = jax.vmap(
                     lambda e: sym_to_svec(W @ svec_to_sym(e, side) @ W)
@@ -329,18 +343,38 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
                 Tbi = jax.vmap(
                     lambda e: sym_to_svec(Wi @ svec_to_sym(e, side) @ Wi)
                 )(basis).T
+                # symmetric-kron of the SPD Wi^{1/2}: B' B = kron_s(Wi,Wi)
+                Bb = jax.vmap(
+                    lambda e: sym_to_svec(Wih @ svec_to_sym(e, side) @ Wih)
+                )(basis).T
                 T = jax.lax.dynamic_update_slice(T, Tb, (off, off))
                 Tinv = jax.lax.dynamic_update_slice(Tinv, Tbi, (off, off))
+                B = jax.lax.dynamic_update_slice(B, Bb, (off, off))
             elif fam in ("exp", "pow"):
                 H = (exp_hess(s[off:off + 3]) if fam == "exp"
                      else pow_hess(s[off:off + 3], meta))
                 mu_s = jnp.maximum(mu, _TINY)
-                Tb = jnp.linalg.inv(H) / mu_s
+                # eigh with a RELATIVE eigenvalue floor instead of
+                # inv/cholesky: near convergence the barrier Hessian's
+                # condition passes 1/eps and a plain inv returns Inf/NaN,
+                # which poisoned every subsequent direction (observed as
+                # an f64 freeze at mu ~ 2e-7). The floor caps cond(H) at
+                # ~1/floor with a mildly damped scaling — the IPM
+                # tolerates inexact T, not non-finite T.
+                floor = 1e-14 if dtype == jnp.float64 else 1e-6
+                lh, Uh = jnp.linalg.eigh(H)
+                lh = jnp.maximum(lh, jnp.max(jnp.abs(lh)) * floor + _TINY)
+                Tb = (Uh / lh) @ Uh.T / mu_s
                 T = jax.lax.dynamic_update_slice(T, Tb, (off, off))
                 Tinv = jax.lax.dynamic_update_slice(
-                    Tinv, H * mu_s, (off, off)
+                    Tinv, mu_s * (Uh * lh) @ Uh.T, (off, off)
                 )
-        return T, Tinv
+                # T^{-1} = B'B with B = sqrt(mu) diag(sqrt(lh)) Uh'
+                Bb = jnp.sqrt(mu_s) * (
+                    jnp.sqrt(lh)[:, None] * Uh.T
+                )
+                B = jax.lax.dynamic_update_slice(B, Bb, (off, off))
+        return T, Tinv, B
 
     def rc_affine(s, z, T):
         """Affine-step complementarity RHS: s (sym) / T z (nonsym)."""
@@ -404,6 +438,41 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
                 )
         return rc
 
+    def strict_interior(v, dual):
+        """All-blocks strict cone membership (f32 step-acceptance check).
+
+        The exact ratio tests in step_len are themselves computed in the
+        iterate dtype; in f32 their roots can overshoot the boundary, in
+        which case s'z goes negative and the NT scalings are garbage from
+        then on (observed: one bad SOC step at mu~4e-4 threw the iterate
+        to 1e7 and wedged the solver). Candidate steps are therefore
+        verified with a direct membership check and backtracked if needed.
+        """
+        oks = [jnp.asarray(True)]
+        if l:
+            oks.append(jnp.min(v[:l]) > 0)
+        for fam, off, meta in blocks:
+            if fam == "soc":
+                d = meta
+                vb = v[off:off + d]
+                oks.append(vb[0] - jnp.linalg.norm(vb[1:]) > 0)
+            elif fam == "psd":
+                side = meta
+                D = side * (side + 1) // 2
+                vb = v[off:off + D]
+                oks.append(
+                    jnp.min(jnp.linalg.eigvalsh(svec_to_sym(vb, side))) > 0
+                )
+            elif fam == "exp":
+                vb = v[off:off + 3]
+                oks.append((_exp_dual_interior if dual
+                            else _exp_interior)(vb))
+            elif fam == "pow":
+                vb = v[off:off + 3]
+                oks.append((_pow_dual_interior if dual
+                            else _pow_interior)(vb, meta))
+        return jnp.all(jnp.stack(oks))
+
     def step_len(v, dv, dual):
         """max alpha in [0,1] keeping v + alpha dv in K (dual=False) or
         K* (dual=True); zero for the nonsym grid when already infeasible."""
@@ -455,16 +524,19 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
             rz = (A_in @ x + s - b_in) if mi else jnp.zeros(0, dtype)
             return rx, ry, rz
 
-        def kkt_solve(T, Tinv, rx, ry, rz_mod):
+        def kkt_solve(T, Tinv, B, rx, ry, rz_mod):
             """Solve [[P, Aeq', Ain'], [Aeq, 0, 0], [Ain, 0, -T]] d = -r.
 
             f64: exact dense LU. f32 (TPU): exact condensation —
-            eliminate dz via Tinv, Cholesky-explicit-inverse the n x n
-            S = P + sigma I + Ain' Tinv Ain (SPD, MXU-friendly), then a
-            p x p equality Schur — replacing CG on the normal equations,
-            whose squared conditioning capped IPM-f32 accuracy. The
-            full-f32 matmul precision matters here: bf16 default inputs
-            would re-floor the condensation."""
+            eliminate dz via Tinv, then solve the n x n SPD
+            S = P + sigma I + Ain' Tinv Ain by QR of the stacked factor
+            M = [Lp'; B Ain] (S = M'M, semi-normal equations): computed
+            R is backward-stable in M whose condition is sqrt(cond(S)),
+            so with the trailing iterative-refinement pass the direction
+            error scales with eps*cond(T)^(1/2) instead of eps*cond(T) —
+            the f32 wall moves from cond(T)~1e7 to ~1e14. The full-f32
+            matmul precision matters here: bf16 default inputs would
+            re-floor the condensation."""
             if dtype == jnp.float64:
                 K = jnp.zeros((dim, dim), dtype)
                 K = K.at[:n, :n].set(
@@ -485,18 +557,17 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
                 return sol[:n], sol[n:n + p_eq], sol[n + p_eq:]
 
             with jax.default_matmul_precision("highest"):
-                if mi:
-                    TiA = Tinv @ A_in
-                    S = (P + st.sigma * jnp.eye(n, dtype=dtype)
-                         + A_in.T @ TiA)
-                else:
-                    S = P + st.sigma * jnp.eye(n, dtype=dtype)
-                Ls = jnp.linalg.cholesky(S)
                 eye_n = jnp.eye(n, dtype=dtype)
-                Lsi = jax.scipy.linalg.solve_triangular(
-                    Ls, eye_n, lower=True
+                Lp = jnp.linalg.cholesky(P + st.sigma * eye_n)
+                if mi:
+                    M = jnp.concatenate([Lp.T, B @ A_in], axis=0)
+                    Rm = jnp.linalg.qr(M, mode="r")
+                else:
+                    Rm = Lp.T
+                Rmi = jax.scipy.linalg.solve_triangular(
+                    Rm, eye_n, lower=False
                 )
-                Sinv = Lsi.T @ Lsi
+                Sinv = Rmi @ Rmi.T
                 if p_eq:
                     E = (A_eq @ (Sinv @ A_eq.T)
                          + st.sigma * jnp.eye(p_eq, dtype=dtype))
@@ -581,7 +652,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
             return out
 
         I_mi = jnp.eye(mi, dtype=dtype)
-        x, y, z_hat = kkt_solve(I_mi, I_mi, q, -b_eq, -b_in)
+        x, y, z_hat = kkt_solve(I_mi, I_mi, I_mi, q, -b_eq, -b_in)
         s = _shift_into_cone(-z_hat, e)
         z = _shift_into_cone(z_hat, zint)
 
@@ -624,15 +695,20 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
             return pinf, dinf
 
         def body(state):
-            x, y, z, s, it, status = state
+            x, y, z, s, it, status, stall, best = state
             mu = jnp.maximum(s @ z / degree, _TINY)
-            T, Tinv = build_T(s, z, mu)
+            T, Tinv, B = build_T(s, z, mu)
             rx, ry, rz = residuals(x, y, z, s)
 
             # ---- affine (predictor) step
             rc_a = rc_affine(s, z, T)
-            dx_a, dy_a, dz_a = kkt_solve(T, Tinv, rx, ry, rz - rc_a)
-            ds_a = -(rc_a + T @ dz_a)
+            dx_a, dy_a, dz_a = kkt_solve(T, Tinv, B, rx, ry, rz - rc_a)
+            # ds from the third-row residual identity, NOT ds=-(rc+T dz):
+            # multiplying dz's f32 error by the ill-conditioned T (norm
+            # ~1/mu near an active SOC boundary) threw the primal
+            # residual from 1e-4 to O(1) in one accepted step; this form
+            # keeps A dx + ds = -rz exact to well-scaled f32 rounding
+            ds_a = -(rz + A_in @ dx_a) if mi else jnp.zeros(0, dtype)
             alpha_aff = jnp.minimum(step_len(s, ds_a, False),
                                     step_len(z, dz_a, True))
             mu_aff = (
@@ -642,27 +718,50 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
 
             # ---- corrector (centering + Mehrotra second order)
             rc_c = rc_combined(s, z, T, mu, sigma_c, ds_a, dz_a)
-            dx, dy, dz = kkt_solve(T, Tinv, rx, ry, rz - rc_c)
-            ds = -(rc_c + T @ dz)
+            dx, dy, dz = kkt_solve(T, Tinv, B, rx, ry, rz - rc_c)
+            ds = -(rz + A_in @ dx) if mi else jnp.zeros(0, dtype)
 
             a_p = step_len(s, ds, False)
             a_d = step_len(z, dz, True)
             alpha = 0.99 * jnp.minimum(a_p, a_d)
 
-            x_n = x + alpha * dx
-            y_n = y + alpha * dy
-            z_n = z + alpha * dz
-            s_n = s + alpha * ds
-            # NaN guard: a blown-up KKT solve keeps the previous iterate
-            ok = (
-                jnp.all(jnp.isfinite(x_n)) & jnp.all(jnp.isfinite(y_n))
-                & jnp.all(jnp.isfinite(z_n)) & jnp.all(jnp.isfinite(s_n))
-            )
-            x = jnp.where(ok, x_n, x)
-            y = jnp.where(ok, y_n, y)
-            z = jnp.where(ok, z_n, z)
-            s = jnp.where(ok, s_n, s)
+            # step acceptance with backtracking: the largest alpha in
+            # {alpha, alpha/2, alpha/4, alpha/8, 0} whose endpoint is
+            # finite AND strictly interior on both sides with s'z > 0
+            # (the f32 ratio tests can overshoot the boundary; a single
+            # exterior step wedges the NT scalings permanently)
+            def _ok_at(a):
+                s_c = s + a * ds
+                z_c = z + a * dz
+                fin = (
+                    jnp.all(jnp.isfinite(x + a * dx))
+                    & jnp.all(jnp.isfinite(y + a * dy))
+                    & jnp.all(jnp.isfinite(s_c))
+                    & jnp.all(jnp.isfinite(z_c))
+                )
+                gap_ok = (s_c @ z_c > 0) if mi else jnp.asarray(True)
+                return (fin & strict_interior(s_c, False)
+                        & strict_interior(z_c, True) & gap_ok)
+
+            alpha_eff = jnp.zeros((), dtype)
+            for k in (0.125, 0.25, 0.5, 1.0):
+                cand = alpha * k
+                alpha_eff = jnp.where(_ok_at(cand), cand, alpha_eff)
+
+            # guard the zero-step case with where: alpha_eff == 0 happens
+            # exactly when every candidate was rejected, typically because
+            # the direction is NaN/Inf (blown-up KKT solve) — and
+            # 0 * NaN would still poison the iterate
+            take = alpha_eff > 0
+            x = jnp.where(take, x + alpha_eff * dx, x)
+            y = jnp.where(take, y + alpha_eff * dy, y)
+            z = jnp.where(take, z + alpha_eff * dz, z)
+            s = jnp.where(take, s + alpha_eff * ds, s)
             it = it + 1
+            # stall counter: consecutive rejected/zero steps mean the
+            # dtype's KKT-direction precision floor is reached (f32 wall
+            # at cond(T) ~ 1e7) — stop burning iterations, return best
+            stall = jnp.where(alpha_eff > 1e-6, 0, stall + 1)
 
             rx2, ry2, rz2 = residuals(x, y, z, s)
             mu2 = s @ z / degree
@@ -677,21 +776,38 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
                 & (d_res <= st.eps_abs * scale)
                 & (mu2 <= st.eps_abs * scale)
             )
+            # best-iterate tracking: return the lowest-merit iterate, not
+            # the last (an f32 run that stalls near its precision floor
+            # should hand back its best point, as the polish refiner does)
+            bx, by, bz, bs, bm = best
+            merit = jnp.maximum(jnp.maximum(p_res, d_res), jnp.abs(mu2))
+            better = merit < bm
+            best = (
+                jnp.where(better, x, bx), jnp.where(better, y, by),
+                jnp.where(better, z, bz), jnp.where(better, s, bs),
+                jnp.where(better, merit, bm),
+            )
             pinf, dinf = certificates(x, y, z)
             status = jnp.where(
                 done, SOLVED,
                 jnp.where(pinf, PRIMAL_INFEASIBLE,
                           jnp.where(dinf, DUAL_INFEASIBLE, status)),
             ).astype(jnp.int32)
-            return x, y, z, s, it, status
+            return x, y, z, s, it, status, stall, best
 
         def cond(state):
-            *_, it, status = state
-            return (status == MAX_ITERS) & (it < max_it)
+            _, _, _, _, it, status, stall, _ = state
+            return (status == MAX_ITERS) & (it < max_it) & (stall < 3)
 
+        inf0 = jnp.asarray(jnp.inf, dtype)
         init = (x, y, z, s, jnp.asarray(0, jnp.int32),
-                jnp.asarray(MAX_ITERS, jnp.int32))
-        x, y, z, s, it, status = jax.lax.while_loop(cond, body, init)
+                jnp.asarray(MAX_ITERS, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+                (x, y, z, s, inf0))
+        x, y, z, s, it, status, _, best = jax.lax.while_loop(
+            cond, body, init
+        )
+        x, y, z, s, _ = best
 
         y_full = jnp.concatenate([y, z]) if p_eq else z
         s_full = jnp.concatenate([jnp.zeros(p_eq, dtype), s])

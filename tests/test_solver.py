@@ -640,3 +640,38 @@ class TestIpmF32:
             np.asarray(outs[0], np.float64),
             np.clip(np.asarray(vv, np.float64), 0, 1), atol=1e-5,
         )
+
+    def test_socp_boundary_f32_regression(self):
+        # regression (r2): f32 IPM on random inequality-form SOCPs used
+        # to step OUTSIDE the cone near a weakly-active boundary (the
+        # f32 ratio tests overshoot), wedging the NT scalings — iterates
+        # diverged to ~1e10 at MAX_ITERS.  The fixes under test: strict-
+        # interior step acceptance with backtracking, ds from the
+        # third-row residual identity (not T @ dz), best-iterate
+        # tracking, and the stall cutoff.  The polished f32 result must
+        # track the polished f64 result and stop in far fewer than
+        # ipm_max_iters iterations.
+        from cvxpylayers_tpu.solver.ipm import make_ipm_solver
+
+        n, msoc = 20, 6
+        dims = ConeDims(zero=0, nonneg=0, soc=[msoc], exp=0, psd=[],
+                        pow3=[])
+        for trial in range(4):
+            r = np.random.default_rng(trial)
+            A = r.standard_normal((msoc, n))
+            b = r.standard_normal(msoc)
+            c = r.standard_normal(n) * 3.0
+            P = np.eye(n)
+            out = {}
+            for dt, eps in ((jnp.float64, 1e-10), (jnp.float32, 1e-7)):
+                st = SolverSettings(eps_abs=eps, solve_method="ipm")
+                pol = make_polished_solver(
+                    dims, n, st, base=make_ipm_solver(dims, n, st)
+                )
+                res = pol(jnp.asarray(P, dt), jnp.asarray(c, dt),
+                          jnp.asarray(A, dt), jnp.asarray(b, dt),
+                          None, None, None)
+                out[dt] = (np.asarray(res.x, np.float64), int(res.iters))
+            err = np.max(np.abs(out[jnp.float32][0] - out[jnp.float64][0]))
+            assert err < 1e-4, (trial, err)
+            assert out[jnp.float32][1] <= 40, (trial, out[jnp.float32][1])

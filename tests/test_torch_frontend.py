@@ -163,3 +163,44 @@ class TestTorchTransforms:
         pv = torch.randn(4, dtype=torch.float64)
         (tv,) = layer(pv)
         assert abs(float(tv) - float(pv.abs().sum())) < 1e-6
+
+
+class TestTorchCompile:
+    def test_compiled_module_with_layer(self):
+        # reference contract (tests/test_moreau.py:1074-1193): the layer
+        # keeps working inside a torch.compile-d module.  The JAX-backed
+        # autograd.Function is an opaque call to dynamo, so it graph-
+        # breaks (allowed: fullgraph=False) but values and gradients
+        # must match the eager module exactly.
+        if not hasattr(torch, "compile"):
+            pytest.skip("torch.compile unavailable")
+        layer, (n, m) = _lad()
+
+        class Model(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lin = torch.nn.Linear(m * n + m, m * n + m,
+                                           dtype=torch.float64)
+
+            def forward(self, theta):
+                theta = self.lin(theta)
+                A = theta[: m * n].reshape(m, n)
+                b = theta[m * n:]
+                (sol,) = layer(A, b)
+                return sol.square().sum() + theta.square().sum() * 0.01
+
+        torch.manual_seed(0)
+        model = Model()
+        theta = torch.randn(m * n + m, dtype=torch.float64,
+                            requires_grad=True)
+        out_eager = model(theta)
+        (g_eager,) = torch.autograd.grad(out_eager, theta)
+
+        try:
+            compiled = torch.compile(model, fullgraph=False)
+            out_c = compiled(theta)
+        except Exception as e:  # pragma: no cover - backend-specific
+            pytest.skip(f"torch.compile backend unavailable: {e}")
+        (g_c,) = torch.autograd.grad(out_c, theta)
+        assert torch.allclose(out_c, out_eager, atol=1e-8)
+        assert torch.allclose(g_c, g_eager, atol=1e-7)
