@@ -351,3 +351,33 @@ class TestExpCliffRegression:
             d_p = float(jnp.sum((v - p) ** 2))
             d_f = float(np.sum((np.asarray(v) - face) ** 2))
             assert d_p <= d_f + 1e-12
+
+
+class TestSpectralDproj:
+    def test_eigendecomposition_matches_dense(self):
+        # Q diag(lam) Q' must reconstruct the dense projection Jacobian
+        # exactly, with orthogonal Q and lam in [0, 1] — closed forms for
+        # soc (Householder tangent basis) and psd (Loewner operator
+        # diagonalized by the svec rotation), trigonometric 3x3 eig for
+        # exp/pow. This powers the (r3) spectral-Schur KKT experiments.
+        from cvxpylayers_tpu.cones.jacobians import (
+            make_cone_dproj_dense,
+            make_cone_dproj_spectral,
+        )
+
+        dims = cone_dims.ConeDims(zero=2, nonneg=3, soc=[4, 3],
+                                  exp=2, psd=[3], pow3=[0.3, 0.7])
+        m = dims.total
+        dense = make_cone_dproj_dense(dims)
+        spec = make_cone_dproj_spectral(dims)
+        for trial in range(4):
+            r = np.random.default_rng(trial)
+            w = r.standard_normal(m) * (2.0 if trial % 2 else 0.7)
+            D = np.asarray(dense(jnp.asarray(w)))
+            Q, lam = spec(jnp.asarray(w))
+            Q = np.asarray(Q)
+            lam = np.asarray(lam)
+            np.testing.assert_allclose(Q @ Q.T, np.eye(m), atol=1e-12)
+            np.testing.assert_allclose(Q @ np.diag(lam) @ Q.T, D,
+                                       atol=1e-7)
+            assert lam.min() >= 0.0 and lam.max() <= 1.0
