@@ -90,8 +90,14 @@ def _build_layers(ct):
     )
     # schur_iters=8: the exact-Schur CG hits the f32 floor by ~8
     # iterations on this problem class (p99 |x - x_ref| ~ 6e-8, measured
-    # on v5e); the auto default leaves margin for unknown problems
-    cfgs["box_qp"] = (qp, qp_params, _tuned_args({"schur_iters": 8}), B)
+    # on v5e); the auto default leaves margin for unknown problems.
+    # refine_steps=5: the diagonal-P elementwise KKT split (r2) makes a
+    # polish step ~2x cheaper; the 5th step recovers the last 3/1024
+    # borderline statuses the removed cholesky round-off used to pass
+    cfgs["box_qp"] = (
+        qp, qp_params,
+        _tuned_args({"schur_iters": 8, "refine_steps": 5}), B,
+    )
 
     # ---- 3. Markowitz SOCP with risk budget (second-order cone)
     n, k = 50, 10

@@ -31,7 +31,7 @@ from ..solver.settings import SolverSettings
 
 
 def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings,
-                     p_diag_full: bool = True):
+                     p_diag_full: bool = True, p_diag_only: bool = False):
     """Returns solve(P, q, A, b, x0, y0, s0) -> (x, y, s, status, iters)
     with implicit-diff gradients w.r.t. (P, q, A, b).
 
@@ -48,15 +48,17 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings,
         base = make_polished_solver(
             dims, n, settings,
             base=make_ipm_solver(dims, n, settings),
-            p_diag_full=p_diag_full,
+            p_diag_full=p_diag_full, p_diag_only=p_diag_only,
         )
     else:
         base = make_polished_solver(dims, n, settings,
-                                    p_diag_full=p_diag_full)
+                                    p_diag_full=p_diag_full,
+                                    p_diag_only=p_diag_only)
     _, jacobian, _ = make_kkt(dims, n)
     kkt_solve = make_kkt_solver(dims, n, cg_iters=settings.cg_iters,
                                 schur_iters=settings.schur_iters,
-                                p_diag_full=p_diag_full)
+                                p_diag_full=p_diag_full,
+                                p_diag_only=p_diag_only)
 
     def _forward(P, q, A, b, x0, y0, s0):
         res = base(P, q, A, b, x0, y0, s0)

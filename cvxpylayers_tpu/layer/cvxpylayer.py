@@ -288,6 +288,10 @@ class CvxpyLayer:
             and len(set(np.asarray(p.P_rows)[diag_mask].tolist()))
             == p.n
         )
+        # strictly-diagonal P (e.g. sum_squares objectives): the f32
+        # Schur split inverts it elementwise, skipping the batched
+        # cholesky custom-calls entirely (kkt.solve_polyhedral)
+        self._p_diag_only = bool(self._p_diag_full and diag_mask.all())
         self._solvers: Dict[SolverSettings, object] = {}
         self._cores: Dict[SolverSettings, object] = {}
         self._warm: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
@@ -303,6 +307,7 @@ class CvxpyLayer:
             self._solvers[settings] = make_diff_solver(
                 self.prog.dims, self.prog.n, settings,
                 p_diag_full=self._p_diag_full,
+                p_diag_only=self._p_diag_only,
             )
         return self._solvers[settings]
 

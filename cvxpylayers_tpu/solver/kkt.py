@@ -60,7 +60,8 @@ def make_kkt(dims: ConeDims, n: int):
 
 
 def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
-                    schur_iters=None, p_diag_full: bool = True):
+                    schur_iters=None, p_diag_full: bool = True,
+                    p_diag_only: bool = False):
     """Solve J(x,w) delta = rhs (or J' delta = rhs).
 
     f64: dense J + exact LU.
@@ -82,13 +83,27 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
     f32, general cones: matvec-only CG on the normal equations — D is
     symmetric block-diagonal, so J/J' matvecs cost O(mn + sum block^2)
     and the (n+m)^2 Jacobian is never materialized (solver/linsolve.py
-    has the measured motivation)."""
-    from ..cones.jacobians import make_cone_dproj_factored
+    has the measured motivation).
+
+    solve_spectral (unwired, kept for the r3 amortization work) is the
+    exact generalization of the polyhedral split to every cone family
+    via D = Q diag(lam) Q' (cones/jacobians.make_cone_dproj_spectral):
+    measured err 1e-7 at solved=1.0 on the softmax polish — numerically
+    strictly better directions than CG — but each Newton step pays
+    25-30 ms of batched cholesky/triangular custom-calls on this TPU
+    backend (profiled), 5x slower end-to-end. Newton-Schulz all-matmul
+    inverses were tried and are NOT safe at the Schur systems'
+    conditioning (kappa ~ 1e6-1e8 when P is curvature-deficient)."""
+    from ..cones.jacobians import (
+        make_cone_dproj_factored,
+        make_cone_dproj_spectral,
+    )
     from .linsolve import _cg_normal, _cg_spd
 
     m = dims.total
     _, jacobian, _ = make_kkt(dims, n)
     dfactor, dapply_f = make_cone_dproj_factored(dims)
+    spectral = make_cone_dproj_spectral(dims) if m else None
     # The Schur split regularizes P with sigma ~ 1e-6 and computes
     # v1 = (P + sigma I)^{-1}(r1 + A0'u); along null(P) that is a 1/sigma
     # amplification of f32 cancellation noise (~1e-7 -> ~1e-1 relative
@@ -114,24 +129,38 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
         row = jnp.arange(m)
         d = jnp.where(row < n_zero, 0.0, (w > 0).astype(dtype))
         inact = 1.0 - d  # rows entering the saddle system
-        # Pinv via Cholesky explicit inverse (n x n, cheap on MXU)
         sig = 1e-6 * (jnp.trace(P) / n + 1.0)
-        L = jnp.linalg.cholesky(P + sig * jnp.eye(n, dtype=dtype))
-        eye = jnp.eye(n, dtype=dtype)
-        Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-        Pinv = Li.T @ Li
+        if p_diag_only:
+            # P is STRUCTURALLY diagonal (e.g. sum_squares objectives:
+            # P = c I): (P + sig I)^{-1} is elementwise — skips the
+            # batched cholesky + triangular-solve custom-calls, which
+            # cost ~3.5 ms each per (512, 64)^2 batch on this TPU
+            # backend (profiled) and dominated the polish Newton step
+            pd = 1.0 / (jnp.diagonal(P) + sig)
+
+            def pinv_mv(v):
+                return pd * v
+        else:
+            # Pinv via Cholesky explicit inverse (n x n, cheap on MXU)
+            L = jnp.linalg.cholesky(P + sig * jnp.eye(n, dtype=dtype))
+            eye = jnp.eye(n, dtype=dtype)
+            Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            Pinv = Li.T @ Li
+
+            def pinv_mv(v):
+                return Pinv @ v
 
         def S_mv(v):
             # masked Schur matvec, identity on active rows
             av = A.T @ (inact * v)
-            return inact * (A @ (Pinv @ av)) + d * v
+            return inact * (A @ pinv_mv(av)) + d * v
 
         if not transpose:
             # [[P, -A_0'], [A_0, 0]] [v1; u] = [r1; r2_0]
             # -> S u = r2_0 - A_0 Pinv r1,  v1 = Pinv (r1 + A_0' u)
-            rhs_u = inact * r2 - inact * (A @ (Pinv @ r1))
+            rhs_u = inact * r2 - inact * (A @ pinv_mv(r1))
             u = _cg_spd(S_mv, rhs_u, schur_iters)
-            v1 = Pinv @ (r1 + A.T @ (inact * u))
+            v1 = pinv_mv(r1 + A.T @ (inact * u))
             # active rows: v2 = r2 - A v1; inactive rows: v2 = u
             v2 = d * (r2 - A @ v1) + inact * u
             return jnp.concatenate([v1, v2])
@@ -140,11 +169,113 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
         # saddle is [[P, A_0'], [A_0, 0]] [v1; u] = [r1 - A_1' r2_1;
         # -r2_0]  ->  S u = A_0 Pinv rhs1 + r2_0, v1 = Pinv(rhs1-A_0'u)
         rhs1 = r1 - A.T @ (d * r2)
-        rhs_u = inact * (A @ (Pinv @ rhs1)) + inact * r2
+        rhs_u = inact * (A @ pinv_mv(rhs1)) + inact * r2
         u = _cg_spd(S_mv, rhs_u, schur_iters)
-        v1 = Pinv @ (rhs1 - A.T @ (inact * u))
+        v1 = pinv_mv(rhs1 - A.T @ (inact * u))
         v2 = d * r2 + inact * u
         return jnp.concatenate([v1, v2])
+
+    def _ns_spd_inv(S, iters):
+        """Explicit SPD inverse by Jacobi-scaled Newton-Schulz iteration.
+
+        X <- 2X - X S X is pure batched matmul — MXU-native. The
+        alternative (cholesky + triangular solves) lowers to linalg
+        custom-calls that cost 3.5-15 ms per batched (512, 64..128)^2
+        call on this TPU backend (profiled: they were ~30 ms of every
+        35 ms polish Newton step), while one 512x64^3 matmul is ~10 us.
+        Jacobi pre-scaling clusters the spectrum so the quadratic
+        convergence budget depends on the problem's intrinsic
+        conditioning, not its row scaling. Residual error ~eps*kappa is
+        absorbed by the solve-level refinement pass, exactly like the
+        Cholesky explicit inverse it replaces."""
+        dtype = S.dtype
+        dim = S.shape[0]
+        dj = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(S), 1e-30, None))
+        Ss = S * dj[:, None] * dj[None, :]
+        eye = jnp.eye(dim, dtype=dtype)
+        a = 1.0 / jnp.max(jnp.sum(jnp.abs(Ss), axis=0))
+        X = a * eye
+        for _ in range(iters):
+            X = 2.0 * X - X @ (Ss @ X)
+        return X * dj[:, None] * dj[None, :]
+
+    def solve_spectral(w, P, A, rhs, transpose):
+        """Exact spectral-Schur solve of J d = rhs (or J' d = rhs).
+
+        Rotated system (v2 = Q z, G = Q'A, s2 = Q'r2, D = Q diag(lam) Q'):
+          row1:  P v1 + G'(lam - 1) z = r1        (J)
+                 P v1 + G' z        = r1          (J')
+          row2:  G v1 + lam z = s2                (J)
+                 (lam - 1) G v1 + lam z = s2      (J')
+
+        Split at lam = 1/2 — NOT at a small truncation threshold. Rows
+        with lam >= 1/2 eliminate z exactly via C = (1-lam)/lam <= 1
+        into M = P + sigma I + (sqrt(C)G)'(sqrt(C)G) (Gram form, PSD to
+        rounding; one n x n Cholesky). Rows with lam < 1/2 keep their
+        EXACT lam through the saddle: both J and J' reduce to the SAME
+        SPD system  (H + diag(lam/(1-lam))) with H = G_N Minv G_N',
+        factorized by one batched m x m Cholesky. Every derived diagonal
+        (C, lam/(1-lam), 1/(1-lam)) is bounded by ~1, so no conditioning
+        is created beyond the problem's own — the earlier small-tau
+        variant pushed C to 1/tau and NaN'd the f32 Cholesky whenever
+        P ~ 0 (cond(M) ~ C/sigma ~ 1e11 on the softmax polish).
+        The decomposition is EXACT: no truncation error anywhere."""
+        dtype = rhs.dtype
+        r1 = rhs[:n]
+        with jax.default_matmul_precision("highest"):
+            # Q's construction (Householder outer products, PSD svec
+            # rotations) must run at full f32 too: bf16 default matmul
+            # inputs on TPU degrade Q's orthogonality to ~1e-2, which
+            # wrecked every downstream direction (solved fraction 0)
+            Q, lam = spectral(w)
+            G = Q.T @ A
+            s2 = Q.T @ rhs[n:]
+            el = lam >= 0.5
+            msk_el = el.astype(dtype)
+            msk_n = 1.0 - msk_el
+            lam_e = jnp.where(el, lam, 1.0)       # for E-row divisions
+            one_m = jnp.where(el, 1.0, 1.0 - lam)  # (1-lam) on N rows
+            C = msk_el * (1.0 - lam) / lam_e       # in [0, 1]
+            Dp = msk_n * lam / one_m               # lam/(1-lam) in [0, 1)
+            sig = 1e-3 * (jnp.trace(P) / n + 1.0)
+            Gc = jnp.sqrt(C)[:, None] * G
+            M = P + sig * jnp.eye(n, dtype=dtype) + Gc.T @ Gc
+            L = jnp.linalg.cholesky(M)
+            Li = jax.scipy.linalg.solve_triangular(
+                L, jnp.eye(n, dtype=dtype), lower=True
+            )
+            Minv = Li.T @ Li
+
+            GM = G @ Minv  # (m, n)
+            S = (msk_n[:, None] * (GM @ G.T) * msk_n[None, :]
+                 + jnp.diag(Dp + msk_el + 1e-7 * msk_n))
+            Ls = jnp.linalg.cholesky(S)
+
+            def S_solve(r):
+                t1 = jax.scipy.linalg.solve_triangular(Ls, r, lower=True)
+                return jax.scipy.linalg.solve_triangular(
+                    Ls, t1, lower=True, trans=1
+                )
+
+            if not transpose:
+                # M v1 - G_N' z'_N = rhat,  (H + Dp) z' = s2_N - G_N Minv rhat
+                # with z'_N = (1-lam) z_N
+                rhat = r1 + G.T @ (C * s2)
+                rhs_u = msk_n * (s2 - GM @ rhat)
+                zp = S_solve(rhs_u)
+                v1 = Minv @ (rhat + G.T @ (msk_n * zp))
+                z = (msk_el * (s2 - G @ v1) / lam_e
+                     + msk_n * zp / one_m)
+            else:
+                # M v1 + G_N' z_N = rhat,
+                # (H + Dp) z_N = (1-lam)^{-1} s2_N + G_N Minv rhat
+                rhat = r1 - G.T @ (msk_el * s2 / lam_e)
+                rhs_u = msk_n * (s2 / one_m + GM @ rhat)
+                zn = S_solve(rhs_u)
+                v1 = Minv @ (rhat - G.T @ (msk_n * zn))
+                z = (msk_el * (s2 / lam_e + C * (G @ v1))
+                     + msk_n * zn)
+            return jnp.concatenate([v1, Q @ z])
 
     def solve(x, w, P, q, A, b, rhs, transpose=False,
               regularized=False, iter_refine=False):
@@ -206,11 +337,16 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
         def solve_once(r):
             if polyhedral:
                 return solve_polyhedral(x, w, P, q, A, b, r, transpose)
-            # general cones: run the CG matvecs at full f32 — the
-            # normal equations square the conditioning, and bf16
-            # matvec noise was observed to pin exp-cone polishes at
-            # ~1e-3 on TPU; these problems are matvec-latency-bound,
-            # so the 3-pass f32 matmul costs little
+            # general cones: matvec-only CG on the normal equations at
+            # full f32 (squared conditioning, but monotone and robust;
+            # bf16 matvec noise was observed to pin exp-cone polishes at
+            # ~1e-3 on TPU). The exact spectral-Schur solve above
+            # (solve_spectral) is numerically superior per direction —
+            # measured err 1e-7 at solved=1.0 in its Cholesky
+            # configuration — but this backend's batched linalg
+            # custom-calls price each factorization at 25-30 ms/step
+            # (profiled), 5x slower end-to-end; it stays opt-in until
+            # the factorization cost is amortized.
             a, aT = (mvT, mv) if transpose else (mv, mvT)
             with jax.default_matmul_precision("highest"):
                 return _cg_normal(a, aT, r, cg_iters)

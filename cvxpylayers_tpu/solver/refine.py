@@ -25,18 +25,22 @@ from .kkt import make_kkt, make_kkt_solver
 _DAMPINGS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
 # forced step size taken when no damping descends (Grippo-style
 # non-monotone move across the kink; the returned iterate is always the
-# best seen, so a useless escape can never worsen the result)
+# best seen, so a useless escape can never worsen the result). NOTE for
+# exact-direction experiments (solve_spectral): with exact Newton
+# directions, kink crossings need the FULL step and a <10%-progress
+# stall test — 0.05 inches forever there; retune if that path is wired.
 _ESCAPE_STEP = 0.05
 
 
 def make_refiner(dims: ConeDims, n: int, steps: int,
                  schur_iters: int = 0, cg_iters: int = 40,
-                 p_diag_full: bool = True):
+                 p_diag_full: bool = True, p_diag_only: bool = False):
     m = dims.total
     residual, jacobian, split = make_kkt(dims, n)
     kkt_solve = make_kkt_solver(dims, n, cg_iters=cg_iters,
                                 schur_iters=schur_iters,
-                                p_diag_full=p_diag_full)
+                                p_diag_full=p_diag_full,
+                                p_diag_only=p_diag_only)
 
     def refine(x, y, s, P, q, A, b):
         if steps <= 0:
@@ -108,7 +112,8 @@ def make_refiner(dims: ConeDims, n: int, steps: int,
 
 
 def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
-                         refine_steps=None, p_diag_full: bool = True):
+                         refine_steps=None, p_diag_full: bool = True,
+                         p_diag_only: bool = False):
     """base solver + Newton polish, returning a SolveResult (the standard
     forward entry point; diff/derivative.py wraps it with the implicit VJP).
 
@@ -130,6 +135,7 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
         schur_iters=settings.schur_iters,
         cg_iters=settings.cg_iters,
         p_diag_full=p_diag_full,
+        p_diag_only=p_diag_only,
     )
     residual, _, _ = make_kkt(dims, n)
 
