@@ -58,7 +58,8 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings,
     kkt_solve = make_kkt_solver(dims, n, cg_iters=settings.cg_iters,
                                 schur_iters=settings.schur_iters,
                                 p_diag_full=p_diag_full,
-                                p_diag_only=p_diag_only)
+                                p_diag_only=p_diag_only,
+                                kkt_mode=settings.kkt_mode)
 
     def _forward(P, q, A, b, x0, y0, s0):
         res = base(P, q, A, b, x0, y0, s0)

@@ -84,6 +84,7 @@ _SOLVER_ARG_KEYS = {
     "scaling_iters": ("scaling_iters",),
     "adaptive_rho": ("adaptive_rho",),
     "solve_method": ("solve_method",),
+    "kkt_mode": ("kkt_mode",),
 }
 
 
@@ -138,6 +139,14 @@ def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
     for k, v in solver_args.items():
         if k == "solve_method":
             kw["solve_method"] = str(v).lower()
+            continue
+        if k == "kkt_mode":
+            mode = str(v).lower()
+            if mode not in ("auto", "spectral"):
+                raise ValueError(
+                    f"kkt_mode must be 'auto' or 'spectral', got {v!r}"
+                )
+            kw["kkt_mode"] = mode
             continue
         if k not in _SOLVER_ARG_KEYS:
             raise ValueError(f"unknown solver_args key: {k!r}")

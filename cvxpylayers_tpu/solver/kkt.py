@@ -61,7 +61,7 @@ def make_kkt(dims: ConeDims, n: int):
 
 def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
                     schur_iters=None, p_diag_full: bool = True,
-                    p_diag_only: bool = False):
+                    p_diag_only: bool = False, kkt_mode: str = "auto"):
     """Solve J(x,w) delta = rhs (or J' delta = rhs).
 
     f64: dense J + exact LU.
@@ -85,15 +85,17 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
     and the (n+m)^2 Jacobian is never materialized (solver/linsolve.py
     has the measured motivation).
 
-    solve_spectral (unwired, kept for the r3 amortization work) is the
-    exact generalization of the polyhedral split to every cone family
-    via D = Q diag(lam) Q' (cones/jacobians.make_cone_dproj_spectral):
+    solve_spectral (kkt_mode="spectral", default off) is the exact
+    generalization of the polyhedral split to every cone family via
+    D = Q diag(lam) Q' (cones/jacobians.make_cone_dproj_spectral):
     measured err 1e-7 at solved=1.0 on the softmax polish — numerically
-    strictly better directions than CG — but each Newton step pays
-    25-30 ms of batched cholesky/triangular custom-calls on this TPU
-    backend (profiled), 5x slower end-to-end. Newton-Schulz all-matmul
-    inverses were tried and are NOT safe at the Schur systems'
-    conditioning (kappa ~ 1e6-1e8 when P is curvature-deficient)."""
+    strictly better directions than CG (Markowitz-class SOCP solved
+    fraction 0.95 -> 1.0) — but each Newton step pays 25-30 ms of
+    batched cholesky/triangular custom-calls on this TPU backend
+    (profiled), 5x slower end-to-end, so it stays opt-in until the
+    factorization is amortized (r3). Newton-Schulz all-matmul inverses
+    were tried and are NOT safe at the Schur systems' conditioning
+    (kappa ~ 1e6-1e8 when P is curvature-deficient)."""
     from ..cones.jacobians import (
         make_cone_dproj_factored,
         make_cone_dproj_spectral,
@@ -247,8 +249,13 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
             Minv = Li.T @ Li
 
             GM = G @ Minv  # (m, n)
-            S = (msk_n[:, None] * (GM @ G.T) * msk_n[None, :]
-                 + jnp.diag(Dp + msk_el + 1e-7 * msk_n))
+            H = msk_n[:, None] * (GM @ G.T) * msk_n[None, :]
+            # saddle diagonal floor scaled to H: the Gram product's f32
+            # rounding is ~eps*||H|| (H carries 1/sigma when P lacks
+            # curvature), and a fixed 1e-7 floor left S numerically
+            # indefinite -> NaN cholesky on SOC portfolio instances
+            s_floor = 1e-6 * (jnp.trace(H) / m) + 1e-7
+            S = H + jnp.diag(Dp + msk_el + s_floor * msk_n)
             Ls = jnp.linalg.cholesky(S)
 
             def S_solve(r):
@@ -337,21 +344,24 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
         def solve_once(r):
             if polyhedral:
                 return solve_polyhedral(x, w, P, q, A, b, r, transpose)
-            # general cones: matvec-only CG on the normal equations at
-            # full f32 (squared conditioning, but monotone and robust;
-            # bf16 matvec noise was observed to pin exp-cone polishes at
-            # ~1e-3 on TPU). The exact spectral-Schur solve above
-            # (solve_spectral) is numerically superior per direction —
-            # measured err 1e-7 at solved=1.0 in its Cholesky
-            # configuration — but this backend's batched linalg
-            # custom-calls price each factorization at 25-30 ms/step
-            # (profiled), 5x slower end-to-end; it stays opt-in until
-            # the factorization cost is amortized.
+            if kkt_mode == "spectral":
+                return solve_spectral(w, P, A, r, transpose)
+            # general cones default: matvec-only CG on the normal
+            # equations at full f32 (squared conditioning, but monotone
+            # and robust; bf16 matvec noise was observed to pin exp-cone
+            # polishes at ~1e-3 on TPU)
             a, aT = (mvT, mv) if transpose else (mv, mvT)
             with jax.default_matmul_precision("highest"):
                 return _cg_normal(a, aT, r, cg_iters)
 
         sol = solve_once(rhs)
+        if not polyhedral and kkt_mode == "spectral":
+            # one refinement pass against the TRUE Jacobian absorbs the
+            # spectral solve's LM-regularization bias; the w-dependent
+            # factorization is CSE'd between the two calls
+            with jax.default_matmul_precision("highest"):
+                resid0 = rhs - (mvT(sol) if transpose else mv(sol))
+            sol = sol + solve_once(resid0)
         if iter_refine:
             # one step of iterative refinement with the true-precision
             # residual: directions from bf16 matvecs carry ~1e-3 relative

@@ -34,13 +34,26 @@ _ESCAPE_STEP = 0.05
 
 def make_refiner(dims: ConeDims, n: int, steps: int,
                  schur_iters: int = 0, cg_iters: int = 40,
-                 p_diag_full: bool = True, p_diag_only: bool = False):
+                 p_diag_full: bool = True, p_diag_only: bool = False,
+                 kkt_mode: str = "auto"):
     m = dims.total
     residual, jacobian, split = make_kkt(dims, n)
     kkt_solve = make_kkt_solver(dims, n, cg_iters=cg_iters,
                                 schur_iters=schur_iters,
                                 p_diag_full=p_diag_full,
-                                p_diag_only=p_diag_only)
+                                p_diag_only=p_diag_only,
+                                kkt_mode=kkt_mode)
+    # exact spectral directions cross semismooth kinks with FULL steps
+    # (measured: 1e-2 -> 3.6e-1 -> 4e-2 -> ... -> 1e-11); the 0.05
+    # tiptoe escape tuned for least-squares CG directions never makes
+    # it across, and greedy min-residual damping then inches forever —
+    # so the spectral mode escalates on <10% progress and escapes with
+    # the full Newton step (best-iterate tracking bounds the risk)
+    exact_dirs = kkt_mode == "spectral" and not (
+        dims.is_polyhedral() and p_diag_full
+    )
+    escape = 1.0 if exact_dirs else _ESCAPE_STEP
+    stall_factor = 0.9 if exact_dirs else 1.0
 
     def refine(x, y, s, P, q, A, b):
         if steps <= 0:
@@ -92,9 +105,9 @@ def make_refiner(dims: ConeDims, n: int, steps: int,
             # the piecewise-smooth residual), force a small step so the
             # iteration crosses into the neighboring smoothness branch
             # instead of freezing
-            stalled = best_f >= f0
-            ex = x_ + _ESCAPE_STEP * delta[:n]
-            ew = w_ + _ESCAPE_STEP * delta[n:]
+            stalled = best_f >= stall_factor * f0
+            ex = x_ + escape * delta[:n]
+            ew = w_ + escape * delta[n:]
             ok = jnp.all(jnp.isfinite(ex)) & jnp.all(jnp.isfinite(ew))
             nx = jnp.where(stalled & ok, ex, best_x)
             nw = jnp.where(stalled & ok, ew, best_w)
@@ -136,6 +149,7 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
         cg_iters=settings.cg_iters,
         p_diag_full=p_diag_full,
         p_diag_only=p_diag_only,
+        kkt_mode=settings.kkt_mode,
     )
     residual, _, _ = make_kkt(dims, n)
 

@@ -42,6 +42,13 @@ class SolverSettings:
     cg_iters: int = 40           # CG budget for the f32 general-cone
     # KKT solve (normal equations; conditioning is squared, so this
     # needs more iterations than schur_iters)
+    kkt_mode: str = "auto"       # f32 general-cone KKT strategy:
+    # "auto" = CG on the normal equations (matmul-only, fast on TPU);
+    # "spectral" = the exact spectral-Schur factorization — strictly
+    # better directions (e.g. Markowitz-class SOCP solved fraction
+    # 0.95 -> 1.0), but each Newton step pays batched cholesky
+    # custom-calls that are ~5x slower end-to-end on the current TPU
+    # backend; recommended on CPU or when accuracy trumps throughput
     schur_iters: int = 0         # CG budget for the f32 polyhedral Schur
     # KKT solve; 0 = auto (the Schur system's effective dimension is the
     # active-set size and its conditioning is unsquared, so ~15
