@@ -104,4 +104,60 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings,
         return (dP, dq, dA, db) + zeros
 
     solve.defvjp(solve_fwd, solve_bwd)
-    return solve
+    if settings.derivative != "forward":
+        return solve
+
+    # ---- forward-mode (JVP) variant: diffcp's `derivative` direction
+    # (reference interfaces/diffcp_if.py solve_and_derivative returns BOTH
+    # a forward derivative and the adjoint; the adjoint is the custom_vjp
+    # above). The IFT on the same residual map gives, for data tangents
+    # (dP, dq, dA, db):
+    #     J [dx_t; dw_t] = -[dP x + dq + dA' y ; dA x - db]
+    # then ds_t = D dw_t and dy_t = (D - I) dw_t. Enables jax.jvp /
+    # jax.jacfwd through the layer (per-instance solution Jacobians).
+    import numpy as _np
+
+    from ..cones.jacobians import make_cone_dproj_apply
+
+    dapply_j = make_cone_dproj_apply(dims)
+
+    @jax.custom_jvp
+    def solve_j(P, q, A, b, x0, y0, s0):
+        return _forward(P, q, A, b, x0, y0, s0)
+
+    @solve_j.defjvp
+    def solve_j_jvp(primals, tangents):
+        P, q, A, b, x0, y0, s0 = primals
+        dP, dq, dA, db = tangents[0], tangents[1], tangents[2], tangents[3]
+        # warm-start tangents are ignored: the solution map does not
+        # depend on the initialization
+        out = _forward(P, q, A, b, x0, y0, s0)
+        x, y, s, status, iters = out
+
+        def _mat(t, like):
+            return (jnp.zeros_like(like)
+                    if isinstance(t, jax.custom_derivatives.SymbolicZero)
+                    else t)
+
+        dP = _mat(dP, P)
+        dq = _mat(dq, q)
+        dA = _mat(dA, A)
+        db = _mat(db, b)
+        w = s - y
+        dF1 = dP @ x + dq + (dA.T @ y if m else jnp.zeros(n, x.dtype))
+        dF2 = (dA @ x - db) if m else jnp.zeros(0, x.dtype)
+        rhs = jnp.concatenate([dF1, dF2])
+        duv = -kkt_solve(x, w, P, q, A, b, rhs, transpose=False,
+                         iter_refine=rhs.dtype != jnp.float64)
+        duv = jnp.where(jnp.all(jnp.isfinite(duv)), duv, 0.0)
+        dx = duv[:n]
+        dw = duv[n:]
+        Ddw = dapply_j(w, dw)
+        ds = Ddw
+        dy = Ddw - dw
+        f0 = jax.dtypes.float0
+        dstatus = _np.zeros(status.shape, f0)
+        diters = _np.zeros(iters.shape, f0)
+        return out, (dx, dy, ds, dstatus, diters)
+
+    return solve_j

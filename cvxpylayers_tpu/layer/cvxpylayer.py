@@ -85,6 +85,7 @@ _SOLVER_ARG_KEYS = {
     "adaptive_rho": ("adaptive_rho",),
     "solve_method": ("solve_method",),
     "kkt_mode": ("kkt_mode",),
+    "derivative": ("derivative",),
 }
 
 
@@ -139,6 +140,14 @@ def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
     for k, v in solver_args.items():
         if k == "solve_method":
             kw["solve_method"] = str(v).lower()
+            continue
+        if k == "derivative":
+            dv = str(v).lower()
+            if dv not in ("adjoint", "forward"):
+                raise ValueError(
+                    f"derivative must be 'adjoint' or 'forward', got {v!r}"
+                )
+            kw["derivative"] = dv
             continue
         if k == "kkt_mode":
             mode = str(v).lower()

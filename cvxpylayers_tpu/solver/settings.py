@@ -35,6 +35,10 @@ class SolverSettings:
     alpha: float = 1.6
     scaling_iters: int = 10      # Ruiz equilibration iterations (0 = off)
     solve_method: str = "admm"   # "admm" (+polish) or "ipm"
+    derivative: str = "adjoint"  # differentiation rule: "adjoint"
+    # (custom_vjp; reverse mode — training loops) or "forward"
+    # (custom_jvp; enables jax.jvp / jax.jacfwd through the layer, the
+    # diffcp `derivative` direction — per-instance solution Jacobians)
     refine_steps: int = 10       # semismooth Newton polish iterations
     ipm_max_iters: int = 100     # IPM iteration cap (IPM iters are ~100x an
     # ADMM iter, so it gets its own knob; solver_args {"max_iters": k}

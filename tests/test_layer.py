@@ -483,3 +483,79 @@ class TestInputContracts:
         _, st, it = layer.solve_with_info(vv)
         assert int(st) == 0
         assert int(it) <= 75, int(it)
+
+
+class TestForwardModeDerivative:
+    """solver_args={"derivative": "forward"}: custom_jvp implicit
+    differentiation (the diffcp `derivative` direction, reference
+    interfaces/diffcp_if.py solve_and_derivative). Enables jax.jvp and
+    jax.jacfwd through the layer; the default "adjoint" stays the rule
+    for jax.grad / jacrev."""
+
+    def _layer(self):
+        n, mi = 6, 4
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        G = ct.Parameter((mi, n))
+        h = ct.Parameter(mi)
+        layer = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.sum_squares(x - v)),
+                       [G @ x <= h, x >= -1, x <= 1]),
+            parameters=[v, G, h], variables=[x],
+        )
+        r = np.random.default_rng(0)
+        vv = jnp.asarray(r.standard_normal(n))
+        Gv = jnp.asarray(r.standard_normal((mi, n)) * 0.4)
+        hv = jnp.asarray(np.abs(r.standard_normal(mi)) + 0.3)
+        return layer, (vv, Gv, hv)
+
+    def test_jvp_matches_finite_differences(self):
+        layer, (vv, Gv, hv) = self._layer()
+        sa = {"derivative": "forward"}
+
+        def f(v_):
+            return layer(v_, Gv, hv, solver_args=sa)[0]
+
+        dv = jnp.asarray(np.random.default_rng(1).standard_normal(
+            vv.shape))
+        _, dxs = jax.jvp(f, (vv,), (dv,))
+        eps = 1e-6
+        fd = (f(vv + eps * dv) - f(vv - eps * dv)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(dxs), np.asarray(fd),
+                                   atol=1e-7)
+
+    def test_jacfwd_matches_jacrev(self):
+        layer, (vv, Gv, hv) = self._layer()
+
+        def f(v_):
+            return layer(v_, Gv, hv,
+                         solver_args={"derivative": "forward"})[0]
+
+        def g(v_):
+            return layer(v_, Gv, hv)[0]
+
+        Jf = np.asarray(jax.jacfwd(f)(vv))
+        Jr = np.asarray(jax.jacrev(g)(vv))
+        np.testing.assert_allclose(Jf, Jr, atol=1e-8)
+
+    def test_jvp_matrix_param_and_batch(self):
+        layer, (vv, Gv, hv) = self._layer()
+        sa = {"derivative": "forward"}
+        B = 3
+        r = np.random.default_rng(2)
+        vb = jnp.asarray(r.standard_normal((B,) + vv.shape))
+        dG = jnp.asarray(r.standard_normal(Gv.shape))
+
+        def f(G_):
+            return layer(vb, G_, hv, solver_args=sa)[0]
+
+        _, dxs = jax.jvp(f, (Gv,), (dG,))
+        eps = 1e-6
+        fd = (f(Gv + eps * dG) - f(Gv - eps * dG)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(dxs), np.asarray(fd),
+                                   atol=1e-6)
+
+    def test_invalid_mode_rejected(self):
+        layer, (vv, Gv, hv) = self._layer()
+        with pytest.raises(ValueError, match="derivative"):
+            layer(vv, Gv, hv, solver_args={"derivative": "central"})
