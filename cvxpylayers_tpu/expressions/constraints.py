@@ -34,6 +34,8 @@ class DualVariable:
     def __init__(self, constraint: "Constraint", part: int = 0):
         self.constraint = constraint
         self.part = int(part)
+        #: populated by Problem.solve() (cvxpy-style plain-solve path)
+        self.value = None
 
     def __repr__(self):
         return f"DualVariable(of={self.constraint!r}, part={self.part})"
@@ -52,6 +54,16 @@ class Constraint:
     @property
     def dual_variables(self):
         return list(self._dual_vars)
+
+    @property
+    def dual_value(self):
+        """First dual part's value after Problem.solve() (cvxpy API);
+        multi-part cone constraints expose the rest via dual_values."""
+        return self._dual_vars[0].value
+
+    @property
+    def dual_values(self):
+        return [d.value for d in self._dual_vars]
 
     def variables(self):
         seen = {}

@@ -67,6 +67,16 @@ class Variable(Leaf):
         self.nonpos = bool(nonpos or neg)
         self.symmetric = bool(symmetric)
         self.PSD = bool(PSD)
+        self._value = None  # populated by Problem.solve()
+
+    @property
+    def value(self):
+        """Solution value after Problem.solve() (cvxpy API)."""
+        return self._value
+
+    @value.setter
+    def value(self, v):
+        self._value = None if v is None else np.asarray(v, dtype=np.float64)
 
     def variables(self):
         return [self]

@@ -32,6 +32,24 @@ class Problem:
             raise ValueError("objective must be Minimize(...) or Maximize(...)")
         self.objective = objective
         self.constraints = list(constraints or [])
+        #: populated by solve() (cvxpy API)
+        self.value = None
+        self.status = None
+
+    def solve(self, solver_args=None, gp: bool = False) -> float:
+        """cvxpy-style plain solve: uses current `Parameter.value`s,
+        populates `Variable.value`, `constraint.dual_value`,
+        `self.status` and `self.value`, and returns the optimal value.
+        The canonicalized program and jitted solver are cached on the
+        problem, so changing parameter values and re-solving is cheap.
+
+        Reference parity: cvxpy Problem.solve() (the capability the
+        layered stack builds on); statuses use cvxpy's strings
+        ("optimal", "optimal_inaccurate", "infeasible", "unbounded").
+        """
+        from ..layer.cvxpylayer import solve_problem
+
+        return solve_problem(self, solver_args=solver_args, gp=gp)
 
     def variables(self):
         seen = {}

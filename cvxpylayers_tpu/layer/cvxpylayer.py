@@ -39,6 +39,7 @@ from ..solver.settings import (
     DUAL_INFEASIBLE,
     MAX_ITERS,
     PRIMAL_INFEASIBLE,
+    SOLVED,
     SolverSettings,
 )
 
@@ -312,6 +313,7 @@ class CvxpyLayer:
         self._p_diag_only = bool(self._p_diag_full and diag_mask.all())
         self._solvers: Dict[SolverSettings, object] = {}
         self._cores: Dict[SolverSettings, object] = {}
+        self._pobj_cores: Dict[SolverSettings, object] = {}
         self._warm: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
 
     # ------------------------------------------------------------------ misc
@@ -573,3 +575,128 @@ class CvxpyLayer:
                 "Solver did not reach the requested accuracy "
                 "(max_iters). Try increasing max_iters or loosening eps."
             )
+
+
+    # ----------------------------------------------------- plain-solve path
+
+    def _pobj_core(self, settings: SolverSettings):
+        """Like _core but additionally returns the canonical objective
+        value 0.5 x'Px + q'x + offset — computed OUTSIDE the custom
+        derivative rules, so it stays plain differentiable JAX."""
+        if settings not in self._pobj_cores:
+            solver = self._solver(settings)
+
+            def core(p_ext, x0, y0, s0):
+                def solve_one(p_row, x0_, y0_, s0_):
+                    P, q, A, b, off = self._assemble(p_row)
+                    x, y, s, status, iters = solver(P, q, A, b,
+                                                    x0_, y0_, s0_)
+                    pobj = 0.5 * x @ (P @ x) + q @ x + off
+                    return x, y, status, iters, pobj
+
+                return jax.vmap(solve_one)(p_ext, x0, y0, s0)
+
+            self._pobj_cores[settings] = jax.jit(core)
+        return self._pobj_cores[settings]
+
+    def solve_values(self, *params, solver_args: Optional[dict] = None):
+        """Unbatched solve returning (outs, status, iters, canonical
+        objective value). Powers Problem.solve(); never raises on solver
+        failure."""
+        settings = _settings_from_args(self._base_settings, solver_args)
+        batch, flags = self._parse_batch(params)
+        if batch is not None:
+            raise ValueError("solve_values expects unbatched parameters")
+        p_ext = self._stack_params(params, None, flags)
+        n, m = self.prog.n, self.prog.m
+        dtype = p_ext.dtype
+        zeros = (jnp.zeros((1, n), dtype), jnp.zeros((1, m), dtype),
+                 jnp.zeros((1, m), dtype))
+        x, y, status, iters, pobj = self._pobj_core(settings)(
+            p_ext, *zeros
+        )
+        outs_b = jax.vmap(self._recover)(x, y)
+        outs = tuple(o[0] for o in outs_b)
+        return outs, status[0], iters[0], pobj[0]
+
+
+# cvxpy status strings (reference semantics: Problem.solve sets
+# problem.status and returns the optimal value)
+_STATUS_STRINGS = {
+    SOLVED: "optimal",
+    MAX_ITERS: "optimal_inaccurate",
+    PRIMAL_INFEASIBLE: "infeasible",
+    DUAL_INFEASIBLE: "unbounded",
+}
+
+
+def solve_problem(problem, solver_args: Optional[dict] = None,
+                  gp: bool = False):
+    """cvxpy-style plain solve: evaluate `Parameter.value`s, solve once,
+    populate `Variable.value`, `constraint.dual_value(s)`,
+    `problem.status`, `problem.value`; return the optimal value.
+
+    The compiled layer is cached on the problem (one per gp flag), so
+    re-solving after changing parameter values reuses the canonicalized
+    program and the jitted solver — the parametrized-solve efficiency
+    cvxpy reaches through warm re-canonicalization.
+    """
+    params = problem.parameters()
+    for par in params:
+        if par.value is None:
+            raise ValueError(
+                f"parameter {par.name} has no value; set Parameter.value "
+                "before Problem.solve()"
+            )
+    cache = getattr(problem, "_solve_layers", None)
+    if cache is None:
+        cache = {}
+        problem._solve_layers = cache
+    key = bool(gp)
+    if key not in cache:
+        variables = list(problem.variables())
+        duals = [d for c in problem.constraints for d in c.dual_variables]
+        cache[key] = (
+            CvxpyLayer(problem, parameters=params,
+                       variables=variables + duals, gp=gp),
+            variables, duals,
+        )
+    layer, variables, duals = cache[key]
+    vals = [jnp.asarray(par.value) for par in layer.parameters]
+    import time as _time
+    import types as _types
+
+    t0 = _time.perf_counter()
+    outs, status, iters, pobj = layer.solve_values(
+        *vals, solver_args=solver_args
+    )
+    jax.block_until_ready(status)
+    problem.solver_stats = _types.SimpleNamespace(
+        num_iters=int(iters), solve_time=_time.perf_counter() - t0,
+        solver_name="cvxpylayers_tpu",
+    )
+    st = int(status)
+    problem.status = _STATUS_STRINGS.get(st, "solver_error")
+    maximize = layer.prog.maximize
+    if st in (PRIMAL_INFEASIBLE, DUAL_INFEASIBLE):
+        inf = float("inf")
+        if st == PRIMAL_INFEASIBLE:
+            problem.value = -inf if maximize else inf
+        else:
+            problem.value = inf if maximize else -inf
+        for var in variables:
+            var.value = None
+        for d in duals:
+            d.value = None
+        return problem.value
+    for var, out in zip(variables, outs[:len(variables)]):
+        var.value = np.asarray(out)
+    for d, out in zip(duals, outs[len(variables):]):
+        d.value = np.asarray(out)
+    val = float(pobj)
+    if maximize:
+        val = -val
+    if gp:
+        val = float(np.exp(val))
+    problem.value = val
+    return val
