@@ -48,6 +48,16 @@ class Atom(Expression):
     def canon(self, ctx, arg_reps):
         raise NotImplementedError(f"{type(self).__name__}.canon")
 
+    @property
+    def value(self):
+        """Numeric value from the arguments' values (cvxpy post-solve
+        API). Affine/gp atoms override with their own properties; the
+        rest evaluate through atoms/numeric.py. None when any leaf has
+        no value."""
+        from . import numeric
+
+        return numeric.atom_value(self)
+
     # --------------------------------------------------------- DCP machinery
 
     def curvature(self) -> Curvature:

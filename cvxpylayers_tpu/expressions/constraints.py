@@ -65,6 +65,16 @@ class Constraint:
     def dual_values(self):
         return [d.value for d in self._dual_vars]
 
+    def violation(self):
+        """Numeric constraint violation at the current leaf values
+        (cvxpy API): 0 iff satisfied; None if values are missing."""
+        r = self.residual
+        return None if r is None else np.max(np.abs(np.asarray(r)))
+
+    @property
+    def residual(self):
+        raise NotImplementedError
+
     def variables(self):
         seen = {}
         for a in self.args:
@@ -102,6 +112,13 @@ class Equality(Constraint):
         return self.args[0].is_affine() and self.args[1].is_affine()
 
     @property
+    def residual(self):
+        a, b = self.args[0].value, self.args[1].value
+        if a is None or b is None:
+            return None
+        return np.abs(np.asarray(a, float) - np.asarray(b, float))
+
+    @property
     def shape(self):
         from .expression import broadcast_shapes_add
 
@@ -119,6 +136,15 @@ class Inequality(Constraint):
 
     def is_dcp(self) -> bool:
         return self.args[0].is_convex() and self.args[1].is_concave()
+
+    @property
+    def residual(self):
+        a, b = self.args[0].value, self.args[1].value
+        if a is None or b is None:
+            return None
+        return np.maximum(
+            np.asarray(a, float) - np.asarray(b, float), 0.0
+        )
 
     @property
     def shape(self):
@@ -147,6 +173,15 @@ class SOC(Constraint):
     def is_dcp(self) -> bool:
         return all(a.is_affine() for a in self.args)
 
+    @property
+    def residual(self):
+        t, X = self.args[0].value, self.args[1].value
+        if t is None or X is None:
+            return None
+        return np.maximum(
+            np.linalg.norm(np.asarray(X, float).ravel()) - float(t), 0.0
+        )
+
     def __repr__(self):
         return f"SOC(t={self.args[0]}, X={self.args[1]})"
 
@@ -167,6 +202,23 @@ class ExpCone(Constraint):
     def is_dcp(self) -> bool:
         return all(a.is_affine() for a in self.args)
 
+    @property
+    def residual(self):
+        vals = [a.value for a in self.args]
+        if any(v is None for v in vals):
+            return None
+        import jax.numpy as jnp
+
+        from ..cones.projections import project_exp
+
+        tri = np.stack([np.asarray(v, float).ravel() for v in vals],
+                       axis=1)
+        out = []
+        for row in tri:
+            p = np.asarray(project_exp(jnp.asarray(row)), float)
+            out.append(np.linalg.norm(row - p))
+        return np.asarray(out).reshape(self.args[0].shape)
+
 
 class PSD(Constraint):
     """X >> 0 for a square affine expression (symmetrized)."""
@@ -179,6 +231,15 @@ class PSD(Constraint):
 
     def is_dcp(self) -> bool:
         return self.args[0].is_affine()
+
+    @property
+    def residual(self):
+        X = self.args[0].value
+        if X is None:
+            return None
+        X = np.asarray(X, float)
+        lmin = np.linalg.eigvalsh(0.5 * (X + X.T)).min()
+        return np.maximum(-lmin, 0.0)
 
 
 class PowCone3D(Constraint):
@@ -200,6 +261,26 @@ class PowCone3D(Constraint):
     def is_dcp(self) -> bool:
         return all(a.is_affine() for a in self.args)
 
+    @property
+    def residual(self):
+        vals = [a.value for a in self.args]
+        if any(v is None for v in vals):
+            return None
+        import jax.numpy as jnp
+
+        from ..cones.projections import project_pow3
+
+        tri = np.stack([np.asarray(v, float).ravel() for v in vals],
+                       axis=1)
+        out = []
+        for row, al in zip(tri, self.alpha):
+            p = np.asarray(
+                project_pow3(jnp.asarray(row), jnp.asarray(float(al))),
+                float,
+            )
+            out.append(np.linalg.norm(row - p))
+        return np.asarray(out).reshape(self.args[0].shape)
+
 
 class NonNeg(Constraint):
     """x >= 0."""
@@ -209,3 +290,10 @@ class NonNeg(Constraint):
 
     def is_dcp(self) -> bool:
         return self.args[0].is_affine()
+
+    @property
+    def residual(self):
+        v = self.args[0].value
+        if v is None:
+            return None
+        return np.maximum(-np.asarray(v, float), 0.0)

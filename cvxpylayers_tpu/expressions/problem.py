@@ -72,6 +72,12 @@ class Problem:
     def is_dcp(self) -> bool:
         return self.objective.is_dcp() and all(c.is_dcp() for c in self.constraints)
 
+    def is_dgp(self) -> bool:
+        """Log-log (geometric-program) discipline check (cvxpy API)."""
+        from ..canon.dgp import is_dgp
+
+        return is_dgp(self)
+
     def is_dpp(self) -> bool:
         if not self.is_dcp():
             return False
