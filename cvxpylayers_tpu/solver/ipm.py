@@ -506,7 +506,6 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
         return jnp.min(jnp.stack(alphas))
 
     def solve(P, q, A, b, x0, y0, s0):
-        del x0, y0, s0  # IPM uses its own initialization
         dtype = q.dtype
         e = jnp.asarray(_e_np, dtype)
         zint = jnp.asarray(_zint_np, dtype)
@@ -655,6 +654,28 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings):
         x, y, z_hat = kkt_solve(I_mi, I_mi, I_mi, q, -b_eq, -b_in)
         s = _shift_into_cone(-z_hat, e)
         z = _shift_into_cone(z_hat, zint)
+        # warm start (data-dependent select, jit/vmap-safe): a nonzero
+        # (x0, y0, s0) from a previous solve replaces the least-squares
+        # initialization, with slacks/duals pushed back into the strict
+        # interior by the same per-block shift — IPMs warm-start poorly
+        # from ON the boundary, so the shift also mixes in a fixed
+        # centering step toward the canonical interior point (the
+        # standard Mehrotra-style warm-start correction)
+        if x0 is not None:
+            ws_norm = (jnp.max(jnp.abs(x0))
+                       + (jnp.max(jnp.abs(s0)) if m else 0.0)
+                       + (jnp.max(jnp.abs(y0)) if m else 0.0))
+            have_ws = ws_norm > 0
+            s_ws = s0[p_eq:] if mi else jnp.zeros(0, dtype)
+            z_ws = y0[p_eq:] if mi else jnp.zeros(0, dtype)
+            y_ws = y0[:p_eq]
+            mix = 0.1
+            s_ws = _shift_into_cone((1 - mix) * s_ws + mix * e, e)
+            z_ws = _shift_into_cone((1 - mix) * z_ws + mix * zint, zint)
+            x = jnp.where(have_ws, x0, x)
+            y = jnp.where(have_ws, y_ws, y)
+            s = jnp.where(have_ws, s_ws, s)
+            z = jnp.where(have_ws, z_ws, z)
 
         b_norm = jnp.max(jnp.abs(b)) if m else jnp.asarray(0.0, dtype)
         q_norm = jnp.max(jnp.abs(q))

@@ -135,3 +135,30 @@ class TestWarmStart:
             np.testing.assert_allclose(
                 np.asarray(xs.sum(axis=1)), 1.0, atol=1e-7
             )
+
+
+class TestIpmWarmStart:
+    def test_iteration_drop(self):
+        # IPM path honors warm starts since late r2: a nonzero previous
+        # solution replaces the least-squares init (slacks/duals shifted
+        # back into the strict interior with a fixed centering mix)
+        n = 12
+        x = ct.Variable(n)
+        v = ct.Parameter(n)
+        layer = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.sum_squares(x - v)),
+                       [ct.sum(x) == 1, x >= 0]),
+            parameters=[v], variables=[x],
+            solver_args={"solve_method": "ipm"},
+        )
+        vv = jnp.asarray(rng.standard_normal((1, n)))
+        _, ws, st1, it1 = layer.solve_and_state(vv)
+        outs_w, _, st2, it2 = layer.solve_and_state(
+            vv + 1e-3, warm_start=ws
+        )
+        outs_c, _, st3, it3 = layer.solve_and_state(vv + 1e-3)
+        assert int(st1.max()) == 0 and int(st2.max()) == 0
+        assert int(it2.max()) < int(it3.max()), (it2, it3)
+        np.testing.assert_allclose(
+            np.asarray(outs_w[0]), np.asarray(outs_c[0]), atol=1e-8
+        )
