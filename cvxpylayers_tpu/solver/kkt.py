@@ -106,6 +106,24 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
     _, jacobian, _ = make_kkt(dims, n)
     dfactor, dapply_f = make_cone_dproj_factored(dims)
     spectral = make_cone_dproj_spectral(dims) if m else None
+    # General-cone f32 CG: inside this KKT-dimension window the (n+m)^2
+    # Jacobian is materialized once per Newton solve and the normal
+    # matrix H = M'M formed explicitly, so every CG iteration is ONE
+    # batched matvec instead of the ~30-HLO operator chain (P@, A@,
+    # A'@, block-diagonal cone-Jacobian apply, concats) — measured
+    # markowitz SOCP 9.3k -> 10.5k solves/s at unchanged solved
+    # fraction. The window is narrow because BOTH alternatives were
+    # measured worse outside it (v5e, batch 512):
+    #   * below: the operator chain is already as small as the dense
+    #     build (GP-sized systems saw no gain);
+    #   * above: per-CG-iteration HBM reads of the (n+m)^2 H and the
+    #     (n+m)^3 highest-precision J'J build dominate (softmax m=129:
+    #     157 -> 196 ms/step), and H's f32 entries carry eps*kappa^2
+    #     which measurably dropped the exp-cone solved fraction;
+    #   * CGNR on an explicit J (two matvecs, no H) doubles the HBM
+    #     traffic per iteration and lost everywhere it was tried.
+    dense_normal_min = 48
+    dense_normal_max = 144
     # The Schur split regularizes P with sigma ~ 1e-6 and computes
     # v1 = (P + sigma I)^{-1}(r1 + A0'u); along null(P) that is a 1/sigma
     # amplification of f32 cancellation noise (~1e-7 -> ~1e-1 relative
@@ -341,17 +359,41 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
                 [P @ u1 + A.T @ u2, dapply_f(dstate, Au1 + u2) - Au1]
             )
 
+        dense_normal = (
+            not polyhedral and kkt_mode != "spectral"
+            and 0 < m and dense_normal_min <= (n + m) <= dense_normal_max
+        )
+        if dense_normal:
+            # materialize J from the factored cone-Jacobian state (the
+            # root-finds/eigh in dfactor are NOT recomputed: dapply_f is
+            # masks/einsums, vmapped over the identity). Full f32 —
+            # same precision contract as the operator CG.
+            with jax.default_matmul_precision("highest"):
+                eye_m = jnp.eye(m, dtype=rhs.dtype)
+                D = jax.vmap(lambda e: dapply_f(dstate, e))(eye_m).T
+                Jd = jnp.concatenate(
+                    [
+                        jnp.concatenate([P, A.T @ (D - eye_m)], axis=1),
+                        jnp.concatenate([A, D], axis=1),
+                    ],
+                    axis=0,
+                )
+                Md = Jd.T if transpose else Jd
+                Hd = Md.T @ Md
+
         def solve_once(r):
             if polyhedral:
                 return solve_polyhedral(x, w, P, q, A, b, r, transpose)
             if kkt_mode == "spectral":
                 return solve_spectral(w, P, A, r, transpose)
-            # general cones default: matvec-only CG on the normal
-            # equations at full f32 (squared conditioning, but monotone
-            # and robust; bf16 matvec noise was observed to pin exp-cone
-            # polishes at ~1e-3 on TPU)
-            a, aT = (mvT, mv) if transpose else (mv, mvT)
+            # general cones default: CG on the normal equations at full
+            # f32 (squared conditioning, but monotone and robust;
+            # bf16 matvec noise was observed to pin exp-cone polishes
+            # at ~1e-3 on TPU)
             with jax.default_matmul_precision("highest"):
+                if dense_normal:
+                    return _cg_spd(lambda v: Hd @ v, Md.T @ r, cg_iters)
+                a, aT = (mvT, mv) if transpose else (mv, mvT)
                 return _cg_normal(a, aT, r, cg_iters)
 
         sol = solve_once(rhs)
