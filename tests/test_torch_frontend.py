@@ -22,6 +22,22 @@ def _lad():
 
 
 class TestTorchFrontend:
+    def test_infeasible_raises(self):
+        # reference contract: solver failure surfaces as an exception
+        # through the torch layer (cvxpylayers tests/test_torch.py:299-316)
+        from cvxpylayers_tpu.layer.cvxpylayer import SolverError
+
+        x = ct.Variable(1)
+        p = ct.Parameter(1)
+        prob = ct.Problem(ct.Minimize(ct.sum(x)), [x >= 1, x <= p - 2])
+        layer = TorchLayer(prob, parameters=[p], variables=[x])
+        with pytest.raises(SolverError, match="infeasible"):
+            layer(torch.zeros(1, dtype=torch.float64))
+        # opt-out: statuses stay data, nothing raises
+        (out,) = layer(torch.zeros(1, dtype=torch.float64),
+                       check_status=False)
+        assert out.shape == (1,)
+
     def test_readme_flow(self):
         layer, (n, m) = _lad()
         A_t = torch.randn(m, n, dtype=torch.float64, requires_grad=True)
