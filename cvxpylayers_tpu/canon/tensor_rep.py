@@ -120,11 +120,23 @@ class TensorRep:
         build E (n_rows x nnz) with E[rows[k], k] = vals[k]; then
         (L @ E).tocoo() enumerates exactly the output entries.
         """
-        L = sp.csr_matrix(L)
         if L.shape[1] != self.n_rows:
             raise ValueError(f"linear map shape {L.shape} vs rows {self.n_rows}")
         if self.nnz == 0:
             return TensorRep.empty(L.shape[0])
+        # native path: enumerate the products directly from the entry
+        # list (no scipy temporaries — one pass over nnz x avg-col-nnz)
+        from ..native import coo_matmat
+
+        out = coo_matmat(
+            self.rows, self.var_cols, self.param_cols, self.vals,
+            sp.csc_matrix(L),
+        )
+        if out is not None:
+            out_rows, out_vars, out_pars, out_vals = out
+            return TensorRep(L.shape[0], out_rows, out_vars, out_pars,
+                             out_vals)
+        L = sp.csr_matrix(L)
         E = sp.csc_matrix(
             (self.vals, (self.rows, np.arange(self.nnz))),
             shape=(self.n_rows, self.nnz),

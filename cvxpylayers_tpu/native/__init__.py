@@ -6,6 +6,6 @@ pure-numpy implementations in tensor_rep take over — results are identical.
 """
 
 from .build import get_lib, native_available
-from .ops import join_pairs
+from .ops import coo_matmat, join_pairs
 
-__all__ = ["get_lib", "join_pairs", "native_available"]
+__all__ = ["get_lib", "join_pairs", "coo_matmat", "native_available"]

@@ -65,3 +65,39 @@ def join_pairs(ka, kb):
     )
     ib = order[run_offsets + within]
     return ia, ib
+
+
+def coo_matmat(rows, var_cols, param_cols, vals, L_csc):
+    """Entries of L @ E for a TensorRep's COO entry list: for every entry
+    k and every stored L[i, rows[k]], emit (i, var_cols[k], param_cols[k],
+    L[i, rows[k]] * vals[k]). `L_csc` is a scipy CSC matrix with columns
+    indexed by the rep's rows (shape (n_out, n_rows)).
+
+    Returns (out_rows, out_vars, out_pars, out_vals) or None when the
+    native library is unavailable (callers fall back to scipy).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = _as_i64(rows)
+    var_cols = _as_i64(var_cols)
+    param_cols = _as_i64(param_cols)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    indptr = _as_i64(L_csc.indptr)
+    indices = _as_i64(L_csc.indices)
+    data = np.ascontiguousarray(L_csc.data, dtype=np.float64)
+    n_in = L_csc.shape[1]
+    total = lib.coo_matmat_count(_ptr_i64(rows), rows.size,
+                                 _ptr_i64(indptr), n_in)
+    out_rows = np.empty(total, dtype=np.int64)
+    out_vars = np.empty(total, dtype=np.int64)
+    out_pars = np.empty(total, dtype=np.int64)
+    out_vals = np.empty(total, dtype=np.float64)
+    lib.coo_matmat_fill(
+        _ptr_i64(rows), _ptr_i64(var_cols), _ptr_i64(param_cols),
+        _ptr_f64(vals), rows.size,
+        _ptr_i64(indptr), _ptr_i64(indices), _ptr_f64(data), n_in,
+        _ptr_i64(out_rows), _ptr_i64(out_vars), _ptr_i64(out_pars),
+        _ptr_f64(out_vals),
+    )
+    return out_rows, out_vars, out_pars, out_vals
