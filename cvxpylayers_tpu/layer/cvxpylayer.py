@@ -87,6 +87,8 @@ _SOLVER_ARG_KEYS = {
     "solve_method": ("solve_method",),
     "kkt_mode": ("kkt_mode",),
     "derivative": ("derivative",),
+    "assembly": ("assembly",),
+    "linsys_iters": ("linsys_iters",),
 }
 
 
@@ -152,11 +154,21 @@ def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
             continue
         if k == "kkt_mode":
             mode = str(v).lower()
-            if mode not in ("auto", "spectral"):
+            if mode not in ("auto", "spectral", "operator"):
                 raise ValueError(
-                    f"kkt_mode must be 'auto' or 'spectral', got {v!r}"
+                    "kkt_mode must be 'auto', 'spectral' or 'operator', "
+                    f"got {v!r}"
                 )
             kw["kkt_mode"] = mode
+            continue
+        if k == "assembly":
+            mode = str(v).lower()
+            if mode not in ("auto", "dense", "sparse"):
+                raise ValueError(
+                    "assembly must be 'auto', 'dense' or 'sparse', "
+                    f"got {v!r}"
+                )
+            kw["assembly"] = mode
             continue
         if k not in _SOLVER_ARG_KEYS:
             raise ValueError(f"unknown solver_args key: {k!r}")
@@ -315,6 +327,7 @@ class CvxpyLayer:
         self._cores: Dict[SolverSettings, object] = {}
         self._pobj_cores: Dict[SolverSettings, object] = {}
         self._warm: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+        self._sparse_ops = None  # built lazily on first sparse-route solve
 
     # ------------------------------------------------------------------ misc
 
@@ -322,13 +335,45 @@ class CvxpyLayer:
     def n_outputs(self) -> int:
         return len(self._outputs)
 
+    def _route(self, settings: SolverSettings) -> str:
+        """'dense' or 'sparse' per-instance data representation. Dense is
+        measured faster at bench sizes (n ~ 50-150); sparse is the
+        large-instance route (O(nnz) matvecs, no dense (m, n) scatter,
+        no factorizations — solver/matfree.py)."""
+        if settings.assembly != "auto":
+            return settings.assembly
+        from ..solver.matfree import _DENSE_ASSEMBLY_LIMIT
+
+        p = self.prog
+        if p.m and p.m * p.n > _DENSE_ASSEMBLY_LIMIT:
+            return "sparse"
+        return "dense"
+
+    def _ops(self):
+        if self._sparse_ops is None:
+            from ..solver.matfree import SparseOps
+
+            p = self.prog
+            self._sparse_ops = SparseOps(
+                p.A_rows, p.A_cols, p.m, p.n, p.P_rows, p.P_cols
+            )
+        return self._sparse_ops
+
     def _solver(self, settings: SolverSettings):
         if settings not in self._solvers:
-            self._solvers[settings] = make_diff_solver(
-                self.prog.dims, self.prog.n, settings,
-                p_diag_full=self._p_diag_full,
-                p_diag_only=self._p_diag_only,
-            )
+            if self._route(settings) == "sparse":
+                from ..solver.matfree import make_matfree_diff_solver
+
+                self._solvers[settings] = make_matfree_diff_solver(
+                    self._ops(), self.prog.dims, self.prog.n, settings,
+                    p_diag_only=self._p_diag_only,
+                )
+            else:
+                self._solvers[settings] = make_diff_solver(
+                    self.prog.dims, self.prog.n, settings,
+                    p_diag_full=self._p_diag_full,
+                    p_diag_only=self._p_diag_only,
+                )
         return self._solvers[settings]
 
     def _core(self, settings: SolverSettings):
@@ -337,10 +382,13 @@ class CvxpyLayer:
         otherwise retrace the whole solve every time."""
         if settings not in self._cores:
             solver = self._solver(settings)
+            assemble = (self._assemble_sparse
+                        if self._route(settings) == "sparse"
+                        else self._assemble)
 
             def core(p_ext, x0, y0, s0):
                 def solve_one(p_row, x0_, y0_, s0_):
-                    P, q, A, b, _ = self._assemble(p_row)
+                    P, q, A, b = assemble(p_row)[:4]
                     return solver(P, q, A, b, x0_, y0_, s0_)
 
                 return jax.vmap(solve_one)(p_ext, x0, y0, s0)
@@ -417,6 +465,22 @@ class CvxpyLayer:
             P = P.at[self._P_rows, self._P_cols].add(P_data)
             P = 0.5 * (P + P.T)
         return P, q, A, b, q_full[-1]
+
+    def _assemble_sparse(self, p_ext_row: jax.Array):
+        """p_ext (n_param+1,) -> (P_data, q, A_data, b, offset): the
+        static-pattern value-vector representation consumed by
+        solver/matfree.py — no dense (m, n)/(n, n) scatter, so the
+        per-instance footprint is O(nnz) (reference analogue: the sparse
+        per-instance handoff in cvxpylayers interfaces/diffcp_if.py:46-70)."""
+        prog = self.prog
+        dtype = p_ext_row.dtype
+        A_data = self._apply_A(p_ext_row)
+        b_data = self._apply_b(p_ext_row)
+        q_full = self._apply_q(p_ext_row)
+        b = jnp.zeros(prog.m, dtype).at[self._b_rows].set(b_data)
+        P_data = (self._apply_P(p_ext_row) if prog.P_rows.size
+                  else jnp.zeros(0, dtype))
+        return P_data, q_full[:-1], A_data, b, q_full[-1]
 
     def _recover(self, x, y, batchless_shape=False):
         outs = []
@@ -585,13 +649,17 @@ class CvxpyLayer:
         derivative rules, so it stays plain differentiable JAX."""
         if settings not in self._pobj_cores:
             solver = self._solver(settings)
+            sparse = self._route(settings) == "sparse"
+            assemble = self._assemble_sparse if sparse else self._assemble
+            ops = self._ops() if sparse else None
 
             def core(p_ext, x0, y0, s0):
                 def solve_one(p_row, x0_, y0_, s0_):
-                    P, q, A, b, off = self._assemble(p_row)
+                    P, q, A, b, off = assemble(p_row)
                     x, y, s, status, iters = solver(P, q, A, b,
                                                     x0_, y0_, s0_)
-                    pobj = 0.5 * x @ (P @ x) + q @ x + off
+                    Px = ops.P_mv(P, x) if sparse else P @ x
+                    pobj = 0.5 * x @ Px + q @ x + off
                     return x, y, status, iters, pobj
 
                 return jax.vmap(solve_one)(p_ext, x0, y0, s0)

@@ -23,6 +23,13 @@ from ..cones.dims import ConeDims
 from ..cones.jacobians import make_cone_dproj_dense
 from ..cones.projections import make_cone_projector
 
+# f32 general-cone dense-normal CG window (see the comment inside
+# make_kkt_solver for the v5e measurements that set these bounds).
+# Escape hatch: solver_args={"kkt_mode": "operator"} disables the dense
+# route entirely for problems sitting near the cliff edges.
+DENSE_NORMAL_MIN = 48
+DENSE_NORMAL_MAX = 144
+
 
 def make_kkt(dims: ConeDims, n: int):
     m = dims.total
@@ -122,8 +129,12 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
     #     which measurably dropped the exp-cone solved fraction;
     #   * CGNR on an explicit J (two matvecs, no H) doubles the HBM
     #     traffic per iteration and lost everywhere it was tried.
-    dense_normal_min = 48
-    dense_normal_max = 144
+    # The justifying measurements cover markowitz/GP/softmax shapes only;
+    # polyhedral problems (even those routed here by p_diag_full=False,
+    # the LAD LP class) stay on the measured operator path until the
+    # dense route is benchmarked on that dispatch-bound class.
+    dense_normal_min = DENSE_NORMAL_MIN
+    dense_normal_max = DENSE_NORMAL_MAX
     # The Schur split regularizes P with sigma ~ 1e-6 and computes
     # v1 = (P + sigma I)^{-1}(r1 + A0'u); along null(P) that is a 1/sigma
     # amplification of f32 cancellation noise (~1e-7 -> ~1e-1 relative
@@ -360,7 +371,8 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
             )
 
         dense_normal = (
-            not polyhedral and kkt_mode != "spectral"
+            not dims.is_polyhedral()
+            and kkt_mode not in ("spectral", "operator")
             and 0 < m and dense_normal_min <= (n + m) <= dense_normal_max
         )
         if dense_normal:

@@ -75,6 +75,31 @@ def _cg_spd(matvec, rhs, iters: int):
     return x
 
 
+def _cg_spd_warm(matvec, rhs, x0, iters: int):
+    """CG for an SPD system, warm-started at x0 (used by the matrix-free
+    ADMM x-update, where consecutive right-hand sides differ by O(step)
+    and the previous solution is an excellent initial iterate)."""
+    r = rhs - matvec(x0)
+    p = r
+    rs = jnp.vdot(r, r).real
+
+    def body(carry, _):
+        x, r, p, rs = carry
+        Ap = matvec(p)
+        denom = jnp.vdot(p, Ap).real
+        alpha = jnp.where(denom > 0, rs / jnp.where(denom > 0, denom, 1.0),
+                          0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.vdot(r, r).real
+        beta = rs_new / jnp.where(rs > 0, rs, 1.0)
+        p = r + beta * p
+        return (x, r, p, rs_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r, p, rs), None, length=iters)
+    return x
+
+
 def solve_square(J: jax.Array, rhs: jax.Array, *, transpose: bool = False,
                  cg_iters: int = 40) -> jax.Array:
     """Solve J x = rhs (or J' x = rhs), per-instance ((d, d), (d,))."""

@@ -6,6 +6,13 @@ precision — this is the framework's high-accuracy story, replacing the role
 of tightening `eps`/`tol` in the reference's native solvers (cvxpylayers
 tests/test_torch.py:787). The Newton system reuses exactly the Jacobian the
 backward pass factorizes, so polish and differentiation share machinery.
+
+The polish loop itself is generic over how the problem data is
+represented: `_newton_polish_loop` takes a residual map and a KKT solver
+closed over either dense (P, q, A, b) matrices (make_refiner) or
+fixed-sparsity data vectors (solver/matfree.py's large-instance route) —
+the damping ladder / kink-escape logic is identical and intentionally
+shared, not duplicated.
 """
 
 from __future__ import annotations
@@ -32,52 +39,29 @@ _DAMPINGS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
 _ESCAPE_STEP = 0.05
 
 
-def make_refiner(dims: ConeDims, n: int, steps: int,
-                 schur_iters: int = 0, cg_iters: int = 40,
-                 p_diag_full: bool = True, p_diag_only: bool = False,
-                 kkt_mode: str = "auto"):
-    m = dims.total
-    residual, jacobian, split = make_kkt(dims, n)
-    kkt_solve = make_kkt_solver(dims, n, cg_iters=cg_iters,
-                                schur_iters=schur_iters,
-                                p_diag_full=p_diag_full,
-                                p_diag_only=p_diag_only,
-                                kkt_mode=kkt_mode)
-    # exact spectral directions cross semismooth kinks with FULL steps
-    # (measured: 1e-2 -> 3.6e-1 -> 4e-2 -> ... -> 1e-11); the 0.05
-    # tiptoe escape tuned for least-squares CG directions never makes
-    # it across, and greedy min-residual damping then inches forever —
-    # so the spectral mode escalates on <10% progress and escapes with
-    # the full Newton step (best-iterate tracking bounds the risk)
-    exact_dirs = kkt_mode == "spectral" and not (
-        dims.is_polyhedral() and p_diag_full
-    )
-    escape = 1.0 if exact_dirs else _ESCAPE_STEP
-    stall_factor = 0.9 if exact_dirs else 1.0
+def _newton_polish_loop(residual, kkt_solve, n: int, steps: int,
+                        escape: float, stall_factor: float,
+                        f64_extra_reg_dir: bool = True):
+    """Generic damped-Newton polish on F(x, w, *data) = 0.
 
-    def refine(x, y, s, P, q, A, b):
-        if steps <= 0:
-            return x, y, s
-        if m == 0:
-            # unconstrained QP: one exact Newton step, P x = -q
-            sol = jnp.linalg.solve(P, -q)
-            ok = jnp.all(jnp.isfinite(sol))
-            return jnp.where(ok, sol, x), y, s
-        w = s - y
+    residual(x, w, *data) -> (n+m,); kkt_solve(x, w, *data, rhs,
+    transpose=..., regularized=...) solves the generalized-Jacobian
+    system. Returns refine_xw(x, w, *data) -> (x, w)."""
 
+    def refine_xw(x, w, *data):
         def step(carry, _):
             x_, w_, bx, bw, bf = carry
-            F = residual(x_, w_, P, q, A, b)
-            delta = kkt_solve(x_, w_, P, q, A, b, -F)
+            F = residual(x_, w_, *data)
+            delta = kkt_solve(x_, w_, *data, -F)
             delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
             dirs = [delta]
-            if F.dtype == jnp.float64:
+            if F.dtype == jnp.float64 and f64_extra_reg_dir:
                 # regularized least-squares direction: survives the
                 # singular-J case (weakly active constraints / failed
                 # strict complementarity) where the exact solve produces
                 # garbage. The f32 path's CG-on-normal-equations is
                 # already implicitly regularized by early termination.
-                delta_r = kkt_solve(x_, w_, P, q, A, b, -F, regularized=True)
+                delta_r = kkt_solve(x_, w_, *data, -F, regularized=True)
                 dirs.append(
                     jnp.where(jnp.all(jnp.isfinite(delta_r)), delta_r, 0.0)
                 )
@@ -88,7 +72,7 @@ def make_refiner(dims: ConeDims, n: int, steps: int,
                 for a in _DAMPINGS:
                     cx = x_ + a * d[:n]
                     cw = w_ + a * d[n:]
-                    cf = jnp.linalg.norm(residual(cx, cw, P, q, A, b))
+                    cf = jnp.linalg.norm(residual(cx, cw, *data))
                     cf = jnp.where(jnp.isfinite(cf), cf, jnp.inf)
                     take = cf < best_f
                     best_x = jnp.where(take, cx, best_x)
@@ -113,11 +97,53 @@ def make_refiner(dims: ConeDims, n: int, steps: int,
             nw = jnp.where(stalled & ok, ew, best_w)
             return (nx, nw, bx, bw, bf), None
 
-        f_init = jnp.linalg.norm(residual(x, w, P, q, A, b))
+        f_init = jnp.linalg.norm(residual(x, w, *data))
         f_init = jnp.where(jnp.isfinite(f_init), f_init, jnp.inf)
         (_, _, x_, w_, _), _ = jax.lax.scan(
             step, (x, w, x, w, f_init), None, length=steps
         )
+        return x_, w_
+
+    return refine_xw
+
+
+def make_refiner(dims: ConeDims, n: int, steps: int,
+                 schur_iters: int = 0, cg_iters: int = 40,
+                 p_diag_full: bool = True, p_diag_only: bool = False,
+                 kkt_mode: str = "auto"):
+    m = dims.total
+    residual, jacobian, split = make_kkt(dims, n)
+    kkt_solve = make_kkt_solver(dims, n, cg_iters=cg_iters,
+                                schur_iters=schur_iters,
+                                p_diag_full=p_diag_full,
+                                p_diag_only=p_diag_only,
+                                kkt_mode=kkt_mode)
+    # exact spectral directions cross semismooth kinks with FULL steps
+    # (measured: 1e-2 -> 3.6e-1 -> 4e-2 -> ... -> 1e-11); the 0.05
+    # tiptoe escape tuned for least-squares CG directions never makes
+    # it across, and greedy min-residual damping then inches forever —
+    # so the spectral mode escalates on <10% progress and escapes with
+    # the full Newton step (best-iterate tracking bounds the risk)
+    exact_dirs = kkt_mode == "spectral" and not (
+        dims.is_polyhedral() and p_diag_full
+    )
+    escape = 1.0 if exact_dirs else _ESCAPE_STEP
+    stall_factor = 0.9 if exact_dirs else 1.0
+
+    refine_xw = _newton_polish_loop(
+        residual, kkt_solve, n, steps, escape, stall_factor
+    )
+
+    def refine(x, y, s, P, q, A, b):
+        if steps <= 0:
+            return x, y, s
+        if m == 0:
+            # unconstrained QP: one exact Newton step, P x = -q
+            sol = jnp.linalg.solve(P, -q)
+            ok = jnp.all(jnp.isfinite(sol))
+            return jnp.where(ok, sol, x), y, s
+        w = s - y
+        x_, w_ = refine_xw(x, w, P, q, A, b)
         s_, y_ = split(w_)
         return x_, y_, s_
 

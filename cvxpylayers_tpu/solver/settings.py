@@ -47,7 +47,11 @@ class SolverSettings:
     # KKT solve (normal equations; conditioning is squared, so this
     # needs more iterations than schur_iters)
     kkt_mode: str = "auto"       # f32 general-cone KKT strategy:
-    # "auto" = CG on the normal equations (matmul-only, fast on TPU);
+    # "auto" = CG on the normal equations (matmul-only, fast on TPU),
+    # with the H materialized densely inside the measured
+    # [DENSE_NORMAL_MIN, DENSE_NORMAL_MAX] KKT-dimension window;
+    # "operator" = like auto but never materializes H (matvec-only) —
+    # the escape hatch for problems near the window's cliff edges;
     # "spectral" = the exact spectral-Schur factorization — strictly
     # better directions (e.g. Markowitz-class SOCP solved fraction
     # 0.95 -> 1.0), but each Newton step pays batched cholesky
@@ -57,6 +61,15 @@ class SolverSettings:
     # KKT solve; 0 = auto (the Schur system's effective dimension is the
     # active-set size and its conditioning is unsquared, so ~15
     # iterations usually reach the f32 floor)
+    assembly: str = "auto"       # per-instance data representation:
+    # "dense" = scatter into (n, n) P / (m, n) A (fastest at bench sizes,
+    # everything batched on the MXU); "sparse" = static-pattern value
+    # vectors + matrix-free solves (solver/matfree.py — the large-
+    # instance route, O(nnz) per matvec, no factorizations);
+    # "auto" = dense until m*n crosses matfree._DENSE_ASSEMBLY_LIMIT
+    linsys_iters: int = 10       # matrix-free ADMM x-update CG budget
+    # (warm-started at the previous iterate; SCS-indirect-style)
+
     def replace(self, **kw) -> "SolverSettings":
         return dataclasses.replace(self, **kw)
 

@@ -592,6 +592,120 @@ class TestPolyhedralKKTFastPath:
             checked += 1
 
 
+class TestDenseNormalKKTWindow:
+    def test_mixed_cones_in_window_match_f64_lu(self):
+        # ADVICE r2: the f32 dense-normal CG fast path (materialized
+        # H = M'M inside the [DENSE_NORMAL_MIN, DENSE_NORMAL_MAX]
+        # window) shipped untested with mixed cones. Assert both the
+        # dense route ("auto") and the matvec-only route ("operator")
+        # reproduce a well-conditioned f64 LU reference, J and J'.
+        from cvxpylayers_tpu.solver.kkt import (
+            DENSE_NORMAL_MAX,
+            DENSE_NORMAL_MIN,
+            make_kkt,
+            make_kkt_solver,
+        )
+
+        import functools
+
+        rng_ = np.random.default_rng(17)
+        n = 20
+        dims = ConeDims(zero=3, nonneg=10, soc=(5,), exp=3, pow3=(0.4, 0.6))
+        m = dims.total
+        assert DENSE_NORMAL_MIN <= n + m <= DENSE_NORMAL_MAX
+
+        _, jacobian, _ = make_kkt(dims, n)
+        solvers = {
+            (mode, tr): jax.jit(functools.partial(
+                make_kkt_solver(dims, n, cg_iters=150, kkt_mode=mode),
+                transpose=tr,
+            ))
+            for mode in ("auto", "operator")
+            for tr in (False, True)
+        }
+
+        checked = 0
+        trials = 0
+        while checked < 4:
+            trials += 1
+            assert trials < 60, "could not find well-conditioned instances"
+            L = rng_.standard_normal((n, n))
+            # near-identity P and small A keep cond(J) modest: CG on the
+            # normal equations squares conditioning, so the f32 accuracy
+            # floor is ~eps * cond(J)^2 — at cond 300 that is ~5e-3
+            P = (np.eye(n) + 0.1 * (L @ L.T / n)).astype(np.float32)
+            A = (rng_.standard_normal((m, n)) * 0.2).astype(np.float32)
+            b = rng_.standard_normal(m).astype(np.float32)
+            q = rng_.standard_normal(n).astype(np.float32)
+            x = rng_.standard_normal(n).astype(np.float32)
+            w = rng_.standard_normal(m).astype(np.float32)
+            # keep exp/pow blocks away from their projection kinks
+            w[dims.zero + dims.nonneg + 5:] *= 0.3
+            rhs = rng_.standard_normal(n + m).astype(np.float32)
+            J = np.asarray(jacobian(*[
+                jnp.asarray(a_, jnp.float64)
+                for a_ in (x, w, P, q, A, b)
+            ]))
+            if np.linalg.cond(J) > 300:
+                continue  # see the floor comment above
+            got = {}
+            for (mode, transpose), solver in solvers.items():
+                sol = np.asarray(solver(
+                    jnp.asarray(x), jnp.asarray(w), jnp.asarray(P),
+                    jnp.asarray(q), jnp.asarray(A), jnp.asarray(b),
+                    jnp.asarray(rhs),
+                ))
+                got[(mode, transpose)] = sol
+                M = J.T if transpose else J
+                ref = np.linalg.solve(M, rhs.astype(np.float64))
+                err = (np.abs(sol - ref).max()
+                       / (1 + np.abs(ref).max()))
+                assert err < 5e-2, (mode, transpose, err)
+            # dense-H and operator share the factored cone-Jacobian
+            # state, so the two routes must agree to f32 CG noise
+            for transpose in (False, True):
+                a_ = got[("auto", transpose)]
+                o_ = got[("operator", transpose)]
+                rel = np.abs(a_ - o_).max() / (1 + np.abs(o_).max())
+                assert rel < 5e-3, (transpose, rel)
+            checked += 1
+
+    def test_polyhedral_p_diag_incomplete_stays_on_operator_path(self):
+        # the LAD LP class (polyhedral cones, p_diag_full=False) must
+        # keep its measured CG-on-normal-equations route even when its
+        # KKT dimension falls inside the dense-normal window: solve a
+        # window-sized LP layer and check the solution against f64
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        n, m_rows = 12, 40  # n + (m_rows dual rows + n) lands in-window
+        x = ct.Variable(n)
+        Ap = ct.Parameter((m_rows, n))
+        bp = ct.Parameter(m_rows)
+        layer = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.pnorm(Ap @ x - bp, 1)), [x >= 0]),
+            parameters=[Ap, bp], variables=[x],
+        )
+        assert layer._p_diag_full is False
+        rng_ = np.random.default_rng(5)
+        Av = rng_.standard_normal((m_rows, n))
+        bv = rng_.standard_normal(m_rows)
+        # this LP class leans on the polish (ADMM alone stalls above
+        # admm_eps here); window-sized instances need the bigger CG
+        # budget to cross the f32 floor
+        sargs = {"max_iters": 2000, "eps_abs": 1e-4, "eps_rel": 1e-4,
+                 "cg_iters": 80, "refine_steps": 20}
+        (outs32, st, _) = layer.solve_with_info(
+            jnp.asarray(Av, jnp.float32), jnp.asarray(bv, jnp.float32),
+            solver_args=sargs,
+        )
+        assert int(st) == 0
+        (x64,) = layer(jnp.asarray(Av), jnp.asarray(bv))
+        obj32 = np.abs(Av @ np.asarray(outs32[0]) - bv).sum()
+        obj64 = np.abs(Av @ np.asarray(x64) - bv).sum()
+        assert obj32 <= obj64 * (1 + 1e-3) + 1e-3
+
+
 class TestIpmF32:
     def test_condensed_kkt_exp_cone_f32(self):
         # f32 IPM with the condensed-Cholesky KKT solves exp-cone
