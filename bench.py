@@ -141,6 +141,46 @@ def _build_layers(ct):
                      "refine_steps": 20}), B,
     )
 
+    # ---- 3b. Markowitz n=500 through the sparse/matrix-free route
+    # (VERDICT r2 'done' criterion: large instances construct in
+    # seconds, solve+diff correctly, and appear here). m*n ~ 266k puts
+    # this far beyond the dense route; the sparse route is O(nnz).
+    n_lg, k_lg = 500, 30
+    w_lg = ct.Variable(n_lg, nonneg=True)
+    mu_lg = ct.Parameter(n_lg)
+    F_lg = ct.Parameter((k_lg, n_lg))
+    soc_lg = ct.CvxpyLayer(
+        ct.Problem(ct.Maximize(mu_lg @ w_lg),
+                   [ct.norm(F_lg @ w_lg, 2) <= 0.25,
+                    ct.sum(w_lg) == 1]),
+        parameters=[mu_lg, F_lg], variables=[w_lg],
+    )
+    B = 128
+    soc_lg_params = (
+        jnp.asarray(rng.standard_normal((B, n_lg)) * 0.1, dtype),
+        jnp.asarray(rng.standard_normal((B, k_lg, n_lg))
+                    / np.sqrt(n_lg), dtype),
+    )
+    cfgs["markowitz_large_n500"] = (
+        soc_lg, soc_lg_params,
+        _tuned_args({"max_iters": 1000, "epoch": 100, "cg_iters": 100,
+                     "refine_steps": 10}), B,
+    )
+
+    # ---- 2b. IPM on the box-QP class (the second algorithm's TPU
+    # number — VERDICT r2 #8; symmetric cones, 5-15 IPM iterations)
+    B = 512
+    qp_ipm_params = (
+        jnp.asarray(rng.standard_normal((B, 50)), dtype),
+        jnp.asarray(rng.standard_normal((B, 20, 50)) * 0.3, dtype),
+        jnp.asarray(np.abs(rng.standard_normal((B, 20))) + 1.0, dtype),
+    )
+    cfgs["box_qp_ipm"] = (
+        qp, qp_ipm_params,
+        _tuned_args({"solve_method": "ipm", "refine_steps": 5,
+                     "schur_iters": 5}), B,
+    )
+
     # ---- 5. GP path (reference tests/test_torch.py:429-458 problem)
     xg = ct.Variable((), pos=True)
     yg = ct.Variable((), pos=True)
@@ -229,59 +269,130 @@ def _kkt_microbench(ct, B=1024, n=50, m=121):
 
 
 def cpu_baseline():
-    """Reference-architecture throughput on this host's CPU: a
-    per-instance jitted solve loop (f64, like diffcp), scaled by core
-    count as a perfect-threadpool upper bound."""
-    import jax
+    """Reference-architecture throughput on this host's CPU: a tight
+    PURE-NUMPY f64 per-instance ADMM + active-set Newton polish +
+    adjoint solve on the headline box-QP class, to the same eps 1e-4 the
+    TPU bench targets. No JAX anywhere — no per-call dispatch overhead —
+    so the per-solve time is an honest stand-in for a compiled
+    per-instance CPU solver of the diffcp+SCS architecture (reference
+    interfaces/diffcp_if.py:219-249 loops instances over a threadpool).
+    Scaled by core count as a perfect-threadpool upper bound; ms/solve
+    is published so readers can compare against known SCS timings."""
+    import scipy.linalg as sla
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
-    import jax.numpy as jnp
-
-    import cvxpylayers_tpu as ct
-
-    n, m_ineq = 50, 20
-    x = ct.Variable(n)
-    v = ct.Parameter(n)
-    G = ct.Parameter((m_ineq, n))
-    h = ct.Parameter(m_ineq)
-    layer = ct.CvxpyLayer(
-        ct.Problem(ct.Minimize(ct.sum_squares(x - v)),
-                   [G @ x <= h, x >= 0, x <= 1]),
-        parameters=[v, G, h], variables=[x],
-    )
     rng = np.random.default_rng(0)
-    sargs = {"eps_abs": 1e-6, "eps_rel": 1e-6}
+    n, m_ineq = 50, 20
+    m = m_ineq + 2 * n  # Gx<=h, x>=0, x<=1 -> all nonneg cone rows
+    eps = 1e-4
 
-    def loss(v_, G_, h_):
-        (xs,) = layer(v_, G_, h_, solver_args=sargs)
-        return jnp.sum(xs ** 2)
+    def make_instance():
+        v = rng.standard_normal(n)
+        G = rng.standard_normal((m_ineq, n)) * 0.3
+        h = np.abs(rng.standard_normal(m_ineq)) + 1.0
+        # min ||x - v||^2 s.t. Ax + s = b, s >= 0
+        P = 2.0 * np.eye(n)
+        q = -2.0 * v
+        A = np.vstack([G, -np.eye(n), np.eye(n)])
+        b = np.concatenate([h, np.zeros(n), np.ones(n)])
+        return P, q, A, b
 
-    import jax as _jax
+    sigma, alpha = 1e-6, 1.6
 
-    step = _jax.jit(_jax.grad(loss, argnums=(0, 1, 2)))
-    vv = jnp.asarray(rng.standard_normal(n))
-    Gv = jnp.asarray(rng.standard_normal((m_ineq, n)) * 0.3)
-    hv = jnp.asarray(np.abs(rng.standard_normal(m_ineq)) + 1.0)
-    g = step(vv, Gv, hv)
-    _jax.block_until_ready(g)
-    # the host is shared/noisy: take the FASTEST of several windows as
-    # the baseline's per-core rate (favors the baseline, so the reported
-    # ratio is a stable lower bound)
-    reps, windows = 10, 5
+    def solve_one(P, q, A, b, rho=1.0):
+        # ADMM (OSQP splitting), factor cached per rho; rho=1.0 +
+        # adaptation measured fastest on this class (2.7-3.1 ms/solve
+        # vs 9.3 at the solver's TPU-tuned rho=0.1 default)
+        M = P + sigma * np.eye(n) + rho * A.T @ A
+        cf = sla.cho_factor(M)
+        x = np.zeros(n)
+        z = np.zeros(m)
+        y = np.zeros(m)
+        for it in range(2000):
+            rhs = sigma * x - q + A.T @ (rho * z - y)
+            x_t = sla.cho_solve(cf, rhs)
+            z_t = A @ x_t
+            x = alpha * x_t + (1 - alpha) * x
+            w = alpha * z_t + (1 - alpha) * z + y / rho
+            z = np.minimum(w, b)          # proj onto {z : b - z >= 0}
+            y = rho * (w - z)
+            if it % 25 == 24:
+                s = b - z
+                r_p = np.abs(A @ x + s - b).max()
+                r_d = np.abs(P @ x + q + A.T @ y).max()
+                if r_p < 1e-3 and r_d < 1e-3:
+                    break
+                ratio = np.sqrt(max(r_p, 1e-10) / max(r_d, 1e-10))
+                ratio = float(np.clip(ratio, 0.1, 10.0))
+                if ratio > 5.0 or ratio < 0.2:
+                    rho = float(np.clip(rho * ratio, 1e-6, 1e6))
+                    M = P + sigma * np.eye(n) + rho * A.T @ A
+                    cf = sla.cho_factor(M)
+        s = b - z
+        # active-set Newton polish (semismooth KKT, exact dense solves)
+        wv = s - y
+        for _ in range(3):
+            pi = np.maximum(wv, 0.0)
+            yv = pi - wv
+            F1 = P @ x + q + A.T @ yv
+            F2 = A @ x + pi - b
+            d = (wv > 0).astype(float)
+            J = np.zeros((n + m, n + m))
+            J[:n, :n] = P
+            J[:n, n:] = A.T * (d - 1.0)[None, :]
+            J[n:, :n] = A
+            J[n:, n:] = np.diag(d)
+            try:
+                delta = np.linalg.solve(J, -np.concatenate([F1, F2]))
+            except np.linalg.LinAlgError:
+                break
+            x = x + delta[:n]
+            wv = wv + delta[n:]
+            if max(np.abs(F1).max(), np.abs(F2).max()) < eps:
+                break
+        pi = np.maximum(wv, 0.0)
+        yv = pi - wv
+        # adjoint (backward) solve: J' uv = -[dx; (D-I)'dy + D'ds]
+        dx = 2.0 * x  # d/dx of sum(x^2) loss, like the TPU bench
+        gw = -dx  # only dx cotangent; (D-I)'0 + D'0 = 0
+        d = (wv > 0).astype(float)
+        J = np.zeros((n + m, n + m))
+        J[:n, :n] = P
+        J[:n, n:] = A.T * (d - 1.0)[None, :]
+        J[n:, :n] = A
+        J[n:, n:] = np.diag(d)
+        rhs = np.concatenate([dx, np.zeros(m)])
+        try:
+            uv = np.linalg.solve(J.T, -rhs)
+        except np.linalg.LinAlgError:
+            uv = np.linalg.lstsq(J.T, -rhs, rcond=None)[0]
+        u, vv_ = uv[:n], uv[n:]
+        dA = np.outer(yv, u) + np.outer(vv_, x)  # data gradients
+        dq = u
+        db = -vv_
+        del gw, dA, dq, db
+        return x
+
+    # correctness spot check vs projection structure: x in [0, 1]
+    inst = [make_instance() for _ in range(32)]
+    xs = solve_one(*inst[0])
+    assert xs.min() > -1e-3 and xs.max() < 1 + 1e-3
+    # timing: fastest of 5 windows (shared host noise favors baseline)
     best = 0.0
-    for _ in range(windows):
+    for _ in range(5):
         t0 = time.perf_counter()
-        for i in range(reps):
-            g = step(vv, Gv, hv)
-        _jax.block_until_ready(g)
-        best = max(best, reps / (time.perf_counter() - t0))
+        for data in inst:
+            solve_one(*data)
+        dt = time.perf_counter() - t0
+        best = max(best, len(inst) / dt)
     per_core = best
     cores = os.cpu_count() or 1
     print(json.dumps({
         "solves_per_s_per_core": round(per_core, 2),
+        "ms_per_solve": round(1000.0 / per_core, 3),
         "cores": cores,
         "modeled_threadpool_solves_per_s": round(per_core * cores, 2),
+        "architecture": "pure-numpy f64 per-instance ADMM + Newton "
+                        "polish + adjoint (no JAX dispatch)",
     }))
 
 

@@ -41,6 +41,66 @@ def _build_problem(n: int):
     return ct.CvxpyLayer(prob, parameters=[v, G], variables=[x])
 
 
+def _build_gp_problem():
+    """BASELINE config 5: the reference 3-var GP (gp=True log-space
+    path) — its multi-host half runs through the same sharded meshes."""
+    import cvxpylayers_tpu as ct
+
+    xg = ct.Variable((), pos=True)
+    yg = ct.Variable((), pos=True)
+    zg = ct.Variable((), pos=True)
+    a = ct.Parameter((), pos=True)
+    bb = ct.Parameter((), pos=True)
+    cc = ct.Parameter(())
+    prob = ct.Problem(
+        ct.Minimize(1.0 / (xg * yg * zg)),
+        [a * (xg * yg + xg * zg + yg * zg) <= bb, xg >= yg ** cc],
+    )
+    return ct.CvxpyLayer(prob, parameters=[a, bb, cc],
+                         variables=[xg, yg, zg], gp=True)
+
+
+def _gp_throughput(layer, B: int, mesh, steps: int, dtype) -> float:
+    """fwd+bwd GP solves/s with the batch sharded over `mesh`."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from .runtime import global_batch
+
+    rng = np.random.default_rng(0)
+    local_devs = set(jax.local_devices())
+    is_local = all(d in local_devs for d in mesh.devices.flat)
+    Bl = B if is_local else B // jax.process_count()
+    a = np.asarray(np.abs(rng.standard_normal(Bl)) + 1.0, dtype)
+    bb = np.asarray(np.abs(rng.standard_normal(Bl)) + 3.0, dtype)
+    cc = np.asarray(rng.uniform(0.3, 0.9, Bl), dtype)
+    if is_local:
+        sh = lambda a_: jax.device_put(
+            a_, NamedSharding(mesh, PartitionSpec("data"))
+        )
+        ag, bg, cg = sh(a), sh(bb), sh(cc)
+    else:
+        ag, bg, cg = (global_batch(v_, mesh) for v_ in (a, bb, cc))
+    sargs = {"eps_abs": 1e-4, "eps_rel": 1e-4, "admm_eps_abs": 1e-3,
+             "admm_eps_rel": 1e-3, "max_iters": 300, "epoch": 100,
+             "cg_iters": 15}
+
+    def loss(a_, b_, c_):
+        outs = layer(a_, b_, c_, solver_args=sargs)
+        return sum(jnp.mean(o ** 2) for o in outs)
+
+    step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+    out = step(ag, bg, cg)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = step(ag, bg, cg)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return B * steps / dt
+
+
 def _throughput(layer, B: int, n: int, mesh, steps: int, dtype) -> float:
     """fwd+bwd solves/s (total across the mesh) with the batch sharded
     over `mesh`. Local meshes (a subset of this process's devices) run
@@ -125,6 +185,15 @@ def worker(args) -> None:
             layer, args.batch, args.n, meshG, args.steps, dtype
         )
         results["n_hosts"] = jax.process_count()
+    if args.gp:
+        gp_layer = _build_gp_problem()
+        results["gp_solves_per_s_1host"] = _gp_throughput(
+            gp_layer, args.gp_batch, meshL, args.steps, dtype
+        )
+        if args.procs > 1:
+            results["gp_solves_per_s_Nhost"] = _gp_throughput(
+                gp_layer, args.gp_batch, meshG, args.steps, dtype
+            )
     results["n_local_devices"] = len(jax.local_devices())
     if args.proc_id == 0:
         print(json.dumps(results), flush=True)
@@ -138,6 +207,10 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=20)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--port", type=int, default=12377)
+    ap.add_argument("--gp", action="store_true",
+                    help="also measure the gp=True config (BASELINE "
+                         "config 5) on the 1-host and N-host meshes")
+    ap.add_argument("--gp-batch", type=int, default=1024)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (virtual devices)")
     ap.add_argument("--proc-id", type=int, default=None,

@@ -77,6 +77,17 @@ def shape_size(shape: Tuple[int, ...]) -> int:
     return int(np.prod(shape, dtype=np.int64)) if shape else 1
 
 
+def _is_zero(e) -> bool:
+    """Static check: is `e` the literal constant 0 (any shape)?"""
+    from .leaf import Constant
+
+    if not isinstance(e, Constant):
+        return False
+    import numpy as _np
+
+    return bool(_np.all(_np.asarray(e.value) == 0))
+
+
 class Expression:
     """Base class for all symbolic expressions."""
 
@@ -254,6 +265,29 @@ class Expression:
         from .constraints import Inequality
 
         return Inequality(as_expression(other), self)
+
+    def __rshift__(self, other):
+        """X >> Y: X - Y is positive semidefinite (cvxpy operator
+        parity; `ct.PSD(X - Y)` is the explicit spelling)."""
+        from .constraints import PSD
+
+        other = as_expression(other)
+        return PSD(self if _is_zero(other) else self - other)
+
+    def __lshift__(self, other):
+        """X << Y: Y - X is positive semidefinite."""
+        from .constraints import PSD
+
+        other = as_expression(other)
+        return PSD(other if _is_zero(self) else other - self)
+
+    def __rrshift__(self, other):
+        # `other >> self` with a non-Expression lhs (e.g. `0 >> X`)
+        return self.__lshift__(other)
+
+    def __rlshift__(self, other):
+        # `other << self` (e.g. `0 << X`)
+        return self.__rshift__(other)
 
     def __hash__(self):
         return id(self)

@@ -268,6 +268,66 @@ class TestSparseRouteParity:
                   solver_args={"assembly": "sparse", "solve_method": "ipm"})
 
 
+class TestMarkowitzLarge:
+    """VERDICT r2 'done' criterion: Markowitz n=500 (batch >= 128 on the
+    TPU bench; here batch-light CPU correctness) constructs in seconds
+    and solves + differentiates correctly through the sparse route."""
+
+    def _layer(self, n, k):
+        w = ct.Variable(n, nonneg=True)
+        mu = ct.Parameter(n)
+        F = ct.Parameter((k, n))
+        prob = ct.Problem(
+            ct.Maximize(mu @ w),
+            [ct.norm(F @ w, 2) <= 0.25, ct.sum(w) == 1],
+        )
+        return CvxpyLayer(prob, parameters=[mu, F], variables=[w])
+
+    def test_midsize_route_parity(self):
+        n, k = 60, 8
+        layer = self._layer(n, k)
+        muv = rng.standard_normal(n) * 0.1
+        Fv = rng.standard_normal((k, n)) / np.sqrt(n)
+        extra = {"max_iters": 4000, "cg_iters": 80}
+        (ws,) = _routes_match(layer, [muv, Fv], sargs_extra=extra,
+                              atol=1e-4, grad_atol=5e-3)
+        np.testing.assert_allclose(float(np.asarray(ws).sum()), 1.0,
+                                   atol=1e-5)
+
+    def test_n500_constructs_and_solves(self):
+        import time
+
+        n, k = 500, 30
+        t0 = time.time()
+        layer = self._layer(n, k)
+        build_s = time.time() - t0
+        assert build_s < 20.0, f"construction took {build_s:.1f}s"
+        from cvxpylayers_tpu.solver.settings import SolverSettings
+
+        assert layer._route(SolverSettings()) == "sparse"
+        muv = jnp.asarray(rng.standard_normal(n) * 0.1)
+        Fv = jnp.asarray(rng.standard_normal((k, n)) / np.sqrt(n))
+        sargs = {"max_iters": 4000, "cg_iters": 100,
+                 "eps_abs": 1e-5, "eps_rel": 1e-5}
+        (ws,), status, _ = layer.solve_with_info(muv, Fv,
+                                                 solver_args=sargs)
+        assert int(np.asarray(status)) == 0
+        wv = np.asarray(ws)
+        assert wv.min() > -1e-6
+        np.testing.assert_allclose(wv.sum(), 1.0, atol=1e-5)
+        # risk constraint active or satisfied
+        assert float(np.linalg.norm(np.asarray(Fv) @ wv)) <= 0.25 + 1e-5
+        # grads flow
+        g = jax.grad(
+            lambda m_, F_: jnp.sum(
+                layer(m_, F_, solver_args=sargs)[0] ** 2
+            ),
+            argnums=(0, 1),
+        )(muv, Fv)
+        assert np.isfinite(np.asarray(g[0])).all()
+        assert np.isfinite(np.asarray(g[1])).all()
+
+
 class TestAutoRoute:
     def test_small_problem_stays_dense(self):
         x = ct.Variable(3)
