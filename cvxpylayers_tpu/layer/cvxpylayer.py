@@ -154,10 +154,10 @@ def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
             continue
         if k == "kkt_mode":
             mode = str(v).lower()
-            if mode not in ("auto", "spectral", "operator"):
+            if mode not in ("auto", "spectral", "operator", "pcg"):
                 raise ValueError(
-                    "kkt_mode must be 'auto', 'spectral' or 'operator', "
-                    f"got {v!r}"
+                    "kkt_mode must be 'auto', 'spectral', 'operator' "
+                    f"or 'pcg', got {v!r}"
                 )
             kw["kkt_mode"] = mode
             continue

@@ -66,6 +66,46 @@ def make_kkt(dims: ConeDims, n: int):
     return residual, jacobian, split
 
 
+def make_kkt_precond(dims: ConeDims, n: int):
+    """build(x, w, P, q, A, b) -> W, an explicit approximate inverse of
+    the KKT Jacobian for the stale-factor PCG polish (kkt_mode='pcg').
+
+    ONE batched f32 LU solve per polish (the 124 ms/1024-batch linalg
+    custom-call the per-step spectral mode could not afford, amortized
+    over every Newton step), followed by one Newton-Schulz refinement
+    W <- W(2I - J W) — pure matmuls — which SQUARES the factorization
+    residual eps*kappa(J): this is the 'doubled-precision stale factor'
+    STATUS r2 scoped as the missing piece (the LM-damped sigma=1e-3
+    spectral factor distorted the singular subspace; raw f32 quality is
+    recovered here by refinement instead of damping). A probe-vector
+    check keeps whichever of {W, refined W} actually has the smaller
+    residual, so a diverging refinement (kappa >~ 1e7) can never make
+    the preconditioner worse."""
+    _, jacobian, _ = make_kkt(dims, n)
+    m = dims.total
+    dim = n + m
+
+    def build(x, w, P, q, A, b):
+        with jax.default_matmul_precision("highest"):
+            J = jacobian(x, w, P, q, A, b)
+            scale = jnp.mean(jnp.abs(jnp.diagonal(J))) + 1.0
+            eye = jnp.eye(dim, dtype=J.dtype)
+            Jr = J + (1e-6 * scale) * eye
+            W = jnp.linalg.solve(Jr, eye)
+            W = jnp.where(jnp.isfinite(W), W, 0.0)
+            W2 = W @ (2.0 * eye - J @ W)
+            # fixed probe: pick the candidate with the smaller true
+            # residual ||(I - J W) v|| (refinement squares the residual
+            # when ||I - J W|| < 1, diverges otherwise)
+            v = jnp.sin(jnp.arange(dim, dtype=J.dtype))
+            r1 = jnp.linalg.norm(v - J @ (W @ v))
+            r2 = jnp.linalg.norm(v - J @ (W2 @ v))
+            r2 = jnp.where(jnp.isfinite(r2), r2, jnp.inf)
+            return jnp.where(r2 < r1, W2, W)
+
+    return build
+
+
 def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
                     schur_iters=None, p_diag_full: bool = True,
                     p_diag_only: bool = False, kkt_mode: str = "auto"):
@@ -314,7 +354,14 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
             return jnp.concatenate([v1, Q @ z])
 
     def solve(x, w, P, q, A, b, rhs, transpose=False,
-              regularized=False, iter_refine=False):
+              regularized=False, iter_refine=False, precond=None):
+        """precond: optional (n+m, n+m) approximate inverse of J —
+        the stale-factor PCG route (see make_kkt_pcg): when given, the
+        f32 general-cone branch runs LEFT-preconditioned CGNR on
+        (W J) d = W r instead of plain CG on J'J, whose squared
+        conditioning is the measured accuracy floor on curvature-
+        deficient polishes (STATUS r2: CG-40 floors at 4e-2 where a
+        4-iteration stale-W PCG reaches 1e-6..1e-15)."""
         if rhs.dtype == jnp.float64:
             J = jacobian(x, w, P, q, A, b)
             M = J.T if transpose else J
@@ -371,7 +418,8 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
             )
 
         dense_normal = (
-            not dims.is_polyhedral()
+            precond is None
+            and not dims.is_polyhedral()
             and kkt_mode not in ("spectral", "operator")
             and 0 < m and dense_normal_min <= (n + m) <= dense_normal_max
         )
@@ -398,6 +446,23 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
                 return solve_polyhedral(x, w, P, q, A, b, r, transpose)
             if kkt_mode == "spectral":
                 return solve_spectral(w, P, A, r, transpose)
+            if precond is not None:
+                # left-preconditioned CGNR: with W ~ J0^{-1} (stale by a
+                # few Newton steps), WJ = I + O(step), so ~4-6
+                # iterations reach the f32 floor regardless of kappa(J)
+                with jax.default_matmul_precision("highest"):
+                    W = precond
+                    if transpose:
+                        # J' d = r  ->  (W'J') d = W'r
+                        a = lambda v_: W.T @ mvT(v_)
+                        aT = lambda u_: mv(W @ u_)
+                        pr = W.T @ r
+                    else:
+                        # J d = r  ->  (WJ) d = Wr
+                        a = lambda v_: W @ mv(v_)
+                        aT = lambda u_: mvT(W.T @ u_)
+                        pr = W @ r
+                    return _cg_normal(a, aT, pr, 6)
             # general cones default: CG on the normal equations at full
             # f32 (squared conditioning, but monotone and robust;
             # bf16 matvec noise was observed to pin exp-cone polishes

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cones.dims import ConeDims
-from .kkt import make_kkt, make_kkt_solver
+from .kkt import make_kkt, make_kkt_precond, make_kkt_solver
 
 # Damping ladder for the Newton line search (each entry costs one cheap
 # residual eval). Monotone acceptance alone can freeze at nonsmooth kinks
@@ -123,16 +123,34 @@ def make_refiner(dims: ConeDims, n: int, steps: int,
     # tiptoe escape tuned for least-squares CG directions never makes
     # it across, and greedy min-residual damping then inches forever —
     # so the spectral mode escalates on <10% progress and escapes with
-    # the full Newton step (best-iterate tracking bounds the risk)
-    exact_dirs = kkt_mode == "spectral" and not (
-        dims.is_polyhedral() and p_diag_full
-    )
+    # the full Newton step (best-iterate tracking bounds the risk).
+    # The stale-factor PCG mode produces near-exact directions too
+    # (preconditioned CGNR converges to ~1e-6 in its 6 iterations while
+    # the factor stays fresh) and gets the same step policy.
+    general = not (dims.is_polyhedral() and p_diag_full)
+    exact_dirs = kkt_mode == "spectral" and general
     escape = 1.0 if exact_dirs else _ESCAPE_STEP
     stall_factor = 0.9 if exact_dirs else 1.0
 
-    refine_xw = _newton_polish_loop(
+    use_pcg = kkt_mode == "pcg" and general and m > 0
+    build_precond = make_kkt_precond(dims, n) if use_pcg else None
+    # two-phase split (measured on the softmax polish trajectory): the
+    # first steps cross semismooth kinks with cheap CG directions — a
+    # factor built at step 0 is STALE the moment the active set jumps
+    # (traced: post-escape stale-W PCG stalls at 1.2e-1 where plain CG
+    # reaches 4e-6) — so the single factorization happens AFTER the
+    # crossing, where steps are small, W stays fresh, and PCG's
+    # near-exact directions fix the CG-normal conditioning floor
+    steps_pcg = min(6, max(1, steps // 3)) if use_pcg else 0
+    steps_pre = steps - steps_pcg
+
+    refine_xw_plain = _newton_polish_loop(
         residual, kkt_solve, n, steps, escape, stall_factor
     )
+    if use_pcg:
+        refine_xw_pre = _newton_polish_loop(
+            residual, kkt_solve, n, steps_pre, _ESCAPE_STEP, 1.0
+        )
 
     def refine(x, y, s, P, q, A, b):
         if steps <= 0:
@@ -143,6 +161,19 @@ def make_refiner(dims: ConeDims, n: int, steps: int,
             ok = jnp.all(jnp.isfinite(sol))
             return jnp.where(ok, sol, x), y, s
         w = s - y
+        if use_pcg and x.dtype != jnp.float64:
+            if steps_pre > 0:
+                x, w = refine_xw_pre(x, w, P, q, A, b)
+            W = build_precond(x, w, P, q, A, b)
+
+            def kkt_solve_pcg(*args_, **kw_):
+                return kkt_solve(*args_, precond=W, **kw_)
+
+            refine_xw = _newton_polish_loop(
+                residual, kkt_solve_pcg, n, steps_pcg, 1.0, 0.9
+            )
+        else:
+            refine_xw = refine_xw_plain
         x_, w_ = refine_xw(x, w, P, q, A, b)
         s_, y_ = split(w_)
         return x_, y_, s_

@@ -52,6 +52,11 @@ class SolverSettings:
     # [DENSE_NORMAL_MIN, DENSE_NORMAL_MAX] KKT-dimension window;
     # "operator" = like auto but never materializes H (matvec-only) —
     # the escape hatch for problems near the window's cliff edges;
+    # "pcg" = stale-factor preconditioned CGNR: ONE batched f32 LU +
+    # Newton-Schulz-refined explicit inverse per polish, reused as a
+    # left preconditioner by every Newton step (6 PCG iterations reach
+    # the f32 floor regardless of kappa — the high-accuracy choice for
+    # curvature-deficient exp/PSD polishes);
     # "spectral" = the exact spectral-Schur factorization — strictly
     # better directions (e.g. Markowitz-class SOCP solved fraction
     # 0.95 -> 1.0), but each Newton step pays batched cholesky

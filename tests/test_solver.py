@@ -706,6 +706,69 @@ class TestDenseNormalKKTWindow:
         assert obj32 <= obj64 * (1 + 1e-3) + 1e-3
 
 
+class TestPcgPolish:
+    @staticmethod
+    def _softmax_layer(n):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        y = ct.Variable(n, nonneg=True)
+        c = ct.Parameter(n)
+        layer = CvxpyLayer(
+            ct.Problem(ct.Maximize(c @ y + ct.sum(ct.entr(y))),
+                       [ct.sum(y) == 1]),
+            parameters=[c], variables=[y],
+        )
+        return layer, c
+
+    def test_softmax_f32_accuracy_at_least_cg(self):
+        # kkt_mode='pcg': two-phase polish (CG kink-crossing, then ONE
+        # Newton-Schulz-refined LU factor + stale-preconditioned CGNR).
+        # Contract: at equal refine_steps it must solve at least as many
+        # instances as plain CG on the curvature-deficient exp-cone
+        # class, and its solutions must match the closed-form softmax.
+        n = 16
+        layer, _ = self._softmax_layer(n)
+        rng_ = np.random.default_rng(2)
+        B = 16
+        cv = jnp.asarray(rng_.standard_normal((B, n)), jnp.float32)
+        ref = np.exp(np.asarray(cv, np.float64))
+        ref = ref / ref.sum(axis=1, keepdims=True)
+        sargs = {"eps_abs": 1e-4, "eps_rel": 1e-4, "admm_eps_abs": 1e-3,
+                 "admm_eps_rel": 1e-3, "max_iters": 300, "epoch": 100,
+                 "refine_steps": 12}
+        solved = {}
+        for mode in ("auto", "pcg"):
+            outs, st, _ = layer.solve_with_info(
+                cv, solver_args={**sargs, "kkt_mode": mode}
+            )
+            stv = np.asarray(st)
+            solved[mode] = int((stv == 0).sum())
+            ys = np.asarray(outs[0], np.float64)
+            err = np.abs(ys[stv == 0] - ref[stv == 0]).max()
+            assert err < 5e-4, (mode, err)
+        assert solved["pcg"] >= solved["auto"], solved
+
+    def test_pcg_grads_match_f64(self):
+        n = 6
+        layer, _ = self._softmax_layer(n)
+        rng_ = np.random.default_rng(3)
+        cv64 = rng_.standard_normal(n)
+        sargs = {"kkt_mode": "pcg", "max_iters": 2000,
+                 "refine_steps": 12, "eps_abs": 1e-5, "eps_rel": 1e-5}
+
+        def loss32(c_):
+            return jnp.sum(layer(c_, solver_args=sargs)[0] ** 3)
+
+        def loss64(c_):
+            return jnp.sum(layer(c_)[0] ** 3)
+
+        g32 = jax.grad(loss32)(jnp.asarray(cv64, jnp.float32))
+        g64 = jax.grad(loss64)(jnp.asarray(cv64))
+        np.testing.assert_allclose(np.asarray(g32, np.float64),
+                                   np.asarray(g64), atol=2e-4, rtol=1e-3)
+
+
 class TestIpmF32:
     def test_condensed_kkt_exp_cone_f32(self):
         # f32 IPM with the condensed-Cholesky KKT solves exp-cone
