@@ -31,23 +31,43 @@ from ..solver.settings import SolverSettings
 
 
 def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings,
-                     p_diag_full: bool = True, p_diag_only: bool = False):
+                     p_diag_full: bool = True, p_diag_only: bool = False,
+                     p_zero: bool = False):
     """Returns solve(P, q, A, b, x0, y0, s0) -> (x, y, s, status, iters)
     with implicit-diff gradients w.r.t. (P, q, A, b).
 
     p_diag_full: static flag — True iff P's diagonal is structurally
     complete (every variable column carries curvature); routes the f32
-    KKT solves between the exact Schur split and CG-normal (kkt.py)."""
+    KKT solves between the exact Schur split and CG-normal (kkt.py).
+    p_zero: static flag — True iff P is structurally zero (no quadratic
+    objective); lets the IPM take the homogeneous self-dual embedding
+    (settings.ipm_mode)."""
     m = dims.total
     if settings.solve_method == "ipm":
         from ..solver.ipm import make_ipm_solver
 
+        if settings.ipm_mode == "hsde" and not p_zero:
+            raise ValueError(
+                "ipm_mode='hsde' requires a problem with no quadratic "
+                "objective (the homogeneous self-dual embedding is a "
+                "conic-LP formulation); drop ipm_mode or the quadratic."
+            )
+        # auto: the embedding is the default only for SYMMETRIC cone
+        # problems (nonneg/SOC/PSD — exact NT scalings); for exp/pow the
+        # primal-dual form measured more robust in f32 (one of four
+        # softmax instances regressed under hsde), so nonsymmetric
+        # problems keep it unless hsde is forced
+        symmetric = dims.exp == 0 and not dims.pow3
+        hsde = p_zero and (
+            settings.ipm_mode == "hsde"
+            or (settings.ipm_mode == "auto" and symmetric)
+        )
         # full polish budget: in f32 the IPM can stall ~1e-5 short near
         # active SOC boundaries (NT scalings lose precision); the
         # kink-escaping semismooth Newton finishes the job
         base = make_polished_solver(
             dims, n, settings,
-            base=make_ipm_solver(dims, n, settings),
+            base=make_ipm_solver(dims, n, settings, hsde=hsde),
             p_diag_full=p_diag_full, p_diag_only=p_diag_only,
         )
     else:

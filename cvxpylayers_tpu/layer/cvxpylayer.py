@@ -85,6 +85,7 @@ _SOLVER_ARG_KEYS = {
     "scaling_iters": ("scaling_iters",),
     "adaptive_rho": ("adaptive_rho",),
     "solve_method": ("solve_method",),
+    "ipm_mode": ("ipm_mode",),
     "kkt_mode": ("kkt_mode",),
     "derivative": ("derivative",),
     "assembly": ("assembly",),
@@ -160,6 +161,14 @@ def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
                     f"or 'pcg', got {v!r}"
                 )
             kw["kkt_mode"] = mode
+            continue
+        if k == "ipm_mode":
+            mode = str(v).lower()
+            if mode not in ("auto", "hsde", "pd"):
+                raise ValueError(
+                    f"ipm_mode must be 'auto', 'hsde' or 'pd', got {v!r}"
+                )
+            kw["ipm_mode"] = mode
             continue
         if k == "assembly":
             mode = str(v).lower()
@@ -373,6 +382,7 @@ class CvxpyLayer:
                     self.prog.dims, self.prog.n, settings,
                     p_diag_full=self._p_diag_full,
                     p_diag_only=self._p_diag_only,
+                    p_zero=self.prog.P_rows.size == 0,
                 )
         return self._solvers[settings]
 

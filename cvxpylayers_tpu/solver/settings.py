@@ -35,6 +35,12 @@ class SolverSettings:
     alpha: float = 1.6
     scaling_iters: int = 10      # Ruiz equilibration iterations (0 = off)
     solve_method: str = "admm"   # "admm" (+polish) or "ipm"
+    ipm_mode: str = "auto"       # IPM formulation: "auto" = the
+    # homogeneous self-dual embedding (intrinsic tau/kappa infeasibility
+    # certificates, tau-scale-invariant f32 residuals) whenever P is
+    # structurally zero, primal-dual otherwise; "hsde" forces the
+    # embedding (errors if the problem has a quadratic objective);
+    # "pd" forces the primal-dual form
     derivative: str = "adjoint"  # differentiation rule: "adjoint"
     # (custom_vjp; reverse mode — training loops) or "forward"
     # (custom_jvp; enables jax.jvp / jax.jacfwd through the layer, the

@@ -769,6 +769,129 @@ class TestPcgPolish:
                                    np.asarray(g64), atol=2e-4, rtol=1e-3)
 
 
+class TestIpmHsde:
+    """Homogeneous self-dual embedding (ipm_mode): the BASELINE north
+    star formulation, auto-selected for problems with no quadratic
+    objective. Oracle: the primal-dual IPM and closed forms."""
+
+    @staticmethod
+    def _socp_layer(n=10, k=3):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        w = ct.Variable(n, nonneg=True)
+        mu = ct.Parameter(n)
+        F = ct.Parameter((k, n))
+        prob = ct.Problem(ct.Maximize(mu @ w),
+                          [ct.norm(F @ w, 2) <= 0.25, ct.sum(w) == 1])
+        return CvxpyLayer(prob, parameters=[mu, F], variables=[w])
+
+    def test_socp_matches_pd_f64(self):
+        layer = self._socp_layer()
+        rng_ = np.random.default_rng(4)
+        muv = rng_.standard_normal(10) * 0.1
+        Fv = rng_.standard_normal((3, 10)) / np.sqrt(10)
+        outs = {}
+        for mode in ("pd", "hsde"):
+            o, st_, _ = layer.solve_with_info(
+                jnp.asarray(muv), jnp.asarray(Fv),
+                solver_args={"solve_method": "ipm", "ipm_mode": mode},
+            )
+            assert int(st_) == 0, mode
+            outs[mode] = np.asarray(o[0])
+        np.testing.assert_allclose(outs["hsde"], outs["pd"], atol=1e-6)
+
+    def test_f32_objective_beats_pd_raw(self):
+        # measured r3 motivation: raw f32 (refine_steps=0) objective
+        # error vs the f64 solution — hsde ~6e-6 vs pd ~4e-4 on this
+        # class (the embedding measures residuals against tau-scaled
+        # data, so the floor is the homogeneous system's, not the
+        # problem scaling's)
+        layer = self._socp_layer()
+        rng_ = np.random.default_rng(5)
+        B = 8
+        muv = rng_.standard_normal((B, 10)) * 0.1
+        Fv = rng_.standard_normal((B, 3, 10)) / np.sqrt(10)
+        (w64,), st64, _ = layer.solve_with_info(
+            jnp.asarray(muv), jnp.asarray(Fv),
+            solver_args={"solve_method": "ipm"},
+        )
+        obj64 = np.einsum("bi,bi->b", muv, np.asarray(w64))
+        errs = {}
+        for mode in ("pd", "hsde"):
+            (w32,), _, _ = layer.solve_with_info(
+                jnp.asarray(muv, jnp.float32), jnp.asarray(Fv, jnp.float32),
+                solver_args={"solve_method": "ipm", "ipm_mode": mode,
+                             "refine_steps": 0, "eps_abs": 1e-5},
+            )
+            o32 = np.einsum("bi,bi->b", muv, np.asarray(w32, np.float64))
+            errs[mode] = np.median(np.abs(o32 - obj64))
+        # per-instance noise swings either way; the batch median must be
+        # comparable-or-better, and both raw floors well under the
+        # polish basin
+        assert errs["hsde"] <= max(1.5 * errs["pd"], 1e-4), errs
+        assert errs["hsde"] < 5e-4, errs
+
+    def test_infeasible_and_unbounded_certificates(self):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        x = ct.Variable(1)
+        lo = ct.Parameter(1)
+        li = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.sum(x)), [x >= lo, x <= -1.0]),
+            parameters=[lo], variables=[x],
+        )
+        _, st_, _ = li.solve_with_info(
+            jnp.asarray([1.0]),
+            solver_args={"solve_method": "ipm", "ipm_mode": "hsde",
+                         "refine_steps": 0},
+        )
+        assert int(st_) == PRIMAL_INFEASIBLE
+        cu = ct.Parameter(1)
+        xu = ct.Variable(1)
+        lu = CvxpyLayer(
+            ct.Problem(ct.Minimize(cu @ xu), [xu <= 5.0]),
+            parameters=[cu], variables=[xu],
+        )
+        _, st_, _ = lu.solve_with_info(
+            jnp.asarray([1.0]),
+            solver_args={"solve_method": "ipm", "ipm_mode": "hsde",
+                         "refine_steps": 0},
+        )
+        assert int(st_) == DUAL_INFEASIBLE
+
+    def test_hsde_forced_on_quadratic_raises(self):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        x = ct.Variable(3)
+        t = ct.Parameter(3)
+        layer = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.sum_squares(x - t)), [x >= 0]),
+            parameters=[t], variables=[x],
+        )
+        with pytest.raises(ValueError, match="hsde"):
+            layer(jnp.asarray([1.0, 2.0, 3.0]),
+                  solver_args={"solve_method": "ipm", "ipm_mode": "hsde"})
+
+    def test_warm_start_iteration_drop(self):
+        layer = self._socp_layer()
+        rng_ = np.random.default_rng(6)
+        muv = jnp.asarray(rng_.standard_normal((1, 10)) * 0.1)
+        Fv = jnp.asarray(rng_.standard_normal((1, 3, 10)) / np.sqrt(10))
+        sargs = {"solve_method": "ipm", "ipm_mode": "hsde"}
+        outs, ws, st_, it0 = layer.solve_and_state(muv, Fv,
+                                                   solver_args=sargs)
+        assert int(np.asarray(st_)[0]) == 0
+        outs2, _, st2, it1 = layer.solve_and_state(
+            muv, Fv, warm_start=ws, solver_args=sargs
+        )
+        assert int(np.asarray(st2)[0]) == 0
+        np.testing.assert_allclose(np.asarray(outs2[0]),
+                                   np.asarray(outs[0]), atol=1e-6)
+
+
 class TestIpmF32:
     def test_condensed_kkt_exp_cone_f32(self):
         # f32 IPM with the condensed-Cholesky KKT solves exp-cone
