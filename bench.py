@@ -66,9 +66,18 @@ def _build_layers(ct):
         jnp.asarray(rng.standard_normal((B, m, n)), dtype),
         jnp.asarray(rng.standard_normal((B, m)), dtype),
     )
-    # LAD is an LP — no strong convexity, so ADMM needs more iterations
+    # LAD is an LP — no strong convexity, so ADMM needs more iterations.
+    # admm_eps 1e-4 (not the 1e-3 default): at 1e-3 ~2% of instances
+    # declare ADMM convergence with the WRONG active set at doubly
+    # degenerate l1 kinks (interpolation kink + x at its bound); the
+    # polish then stalls at a Gauss-Newton stationary point (J'F = 0,
+    # |F| ~ 5e-3) that no damping escapes — even in f64. Identifying
+    # the vertex inside ADMM fixes solved 0.972 -> 1.0 (median
+    # iterations unchanged at 200; only the degenerate tail runs long).
     cfgs["lad"] = (
-        lad, lad_params, _tuned_args({"max_iters": 300, "epoch": 100}), B,
+        lad, lad_params,
+        _tuned_args({"max_iters": 600, "epoch": 100,
+                     "admm_eps_abs": 1e-4, "admm_eps_rel": 1e-4}), B,
     )
 
     # ---- 2. box QP (headline)

@@ -70,6 +70,20 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings,
             base=make_ipm_solver(dims, n, settings, hsde=hsde),
             p_diag_full=p_diag_full, p_diag_only=p_diag_only,
         )
+    elif settings.solve_method == "pdhg":
+        from ..solver.pdhg import make_pdhg_solver
+
+        if not p_zero:
+            raise ValueError(
+                "solve_method='pdhg' requires a problem with no "
+                "quadratic objective (PDHG's x-update is a gradient "
+                "step); use 'admm' (default) or 'ipm'."
+            )
+        base = make_polished_solver(
+            dims, n, settings,
+            base=make_pdhg_solver(dims, n, settings),
+            p_diag_full=p_diag_full, p_diag_only=p_diag_only,
+        )
     else:
         base = make_polished_solver(dims, n, settings,
                                     p_diag_full=p_diag_full,

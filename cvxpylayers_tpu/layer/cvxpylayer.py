@@ -143,7 +143,13 @@ def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
     kw = {}
     for k, v in solver_args.items():
         if k == "solve_method":
-            kw["solve_method"] = str(v).lower()
+            method = str(v).lower()
+            if method not in ("admm", "ipm", "pdhg"):
+                raise ValueError(
+                    "solve_method must be 'admm', 'ipm' or 'pdhg', "
+                    f"got {v!r}"
+                )
+            kw["solve_method"] = method
             continue
         if k == "derivative":
             dv = str(v).lower()

@@ -78,18 +78,24 @@ class SparseOps:
         self.n = int(n)
         self.nnz_A = int(len(A_rows))
         self.nnz_P = int(len(P_rows))
-        self._ar = jnp.asarray(np.asarray(A_rows, np.int32))
-        self._ac = jnp.asarray(np.asarray(A_cols, np.int32))
+        # NUMPY constants, never jnp: the layer builds this object
+        # lazily, possibly inside an outer jit trace (e.g. a user's
+        # jitted training step) — a jnp array created there is a tracer
+        # of THAT trace and poisons every later one ("No constant
+        # handler for DynamicJaxprTracer"). numpy operands embed as
+        # fresh XLA constants per trace.
+        self._ar = np.asarray(A_rows, np.int32)
+        self._ac = np.asarray(A_cols, np.int32)
         perm = np.argsort(np.asarray(A_cols), kind="stable")
-        self._a_perm = jnp.asarray(perm.astype(np.int32))
-        self._ar_t = jnp.asarray(np.asarray(A_rows)[perm].astype(np.int32))
-        self._ac_t = jnp.asarray(np.asarray(A_cols)[perm].astype(np.int32))
-        self._pr = jnp.asarray(np.asarray(P_rows, np.int32))
-        self._pc = jnp.asarray(np.asarray(P_cols, np.int32))
+        self._a_perm = perm.astype(np.int32)
+        self._ar_t = np.asarray(A_rows)[perm].astype(np.int32)
+        self._ac_t = np.asarray(A_cols)[perm].astype(np.int32)
+        self._pr = np.asarray(P_rows, np.int32)
+        self._pc = np.asarray(P_cols, np.int32)
         # static: is P structurally diagonal-only / full-diagonal?
         diag_mask = np.asarray(P_rows) == np.asarray(P_cols)
         self.p_diag_only = bool(self.nnz_P and diag_mask.all())
-        self._p_diag_mask = jnp.asarray(diag_mask.astype(np.float64))
+        self._p_diag_mask = diag_mask.astype(np.float64)
 
     # ---------------------------------------------------------- A matvecs
 
@@ -239,8 +245,9 @@ def make_matfree_admm_solver(ops: SparseOps, dims: ConeDims, n: int,
     M = P + sigma I + A' diag(rho) A (matvec-only)."""
     m = dims.total
     proj_K = make_cone_projector(dims)
-    group_ids_np, n_groups = _cone_row_groups(dims)
-    group_ids = jnp.asarray(group_ids_np) if m else None
+    # numpy, not jnp: this solver is built lazily, possibly inside a jit
+    # trace (see SparseOps) — jnp constants created here would leak
+    group_ids, n_groups = _cone_row_groups(dims)
     st = settings
 
     is_eq_row = np.arange(m) < dims.zero
@@ -617,12 +624,12 @@ def make_matfree_diff_solver(ops: SparseOps, dims: ConeDims, n: int,
     pattern, so the backward cost is O(nnz), never O(mn).
     """
     m = dims.total
-    if settings.solve_method == "ipm":
+    if settings.solve_method != "admm":
         raise ValueError(
-            "solve_method='ipm' requires the dense assembly route; the "
-            "sparse large-instance path is ADMM+polish only (pass "
-            "solver_args={'assembly': 'dense'} to force dense, or drop "
-            "solve_method)."
+            f"solve_method={settings.solve_method!r} requires the dense "
+            "assembly route; the sparse large-instance path is "
+            "ADMM+polish only (pass solver_args={'assembly': 'dense'} "
+            "to force dense, or drop solve_method)."
         )
     base = make_matfree_polished_solver(
         ops, dims, n, settings, p_diag_only=p_diag_only

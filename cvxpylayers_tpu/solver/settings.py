@@ -34,7 +34,9 @@ class SolverSettings:
     sigma: float = 1e-6
     alpha: float = 1.6
     scaling_iters: int = 10      # Ruiz equilibration iterations (0 = off)
-    solve_method: str = "admm"   # "admm" (+polish) or "ipm"
+    solve_method: str = "admm"   # "admm" (+polish), "ipm", or "pdhg"
+    # (matvec-only first-order conic-LP solver + polish — the MPAX
+    # raPDHG role; requires a structurally zero P)
     ipm_mode: str = "auto"       # IPM formulation: "auto" = the
     # homogeneous self-dual embedding (intrinsic tau/kappa infeasibility
     # certificates, tau-scale-invariant f32 residuals) whenever P is

@@ -769,6 +769,98 @@ class TestPcgPolish:
                                    np.asarray(g64), atol=2e-4, rtol=1e-3)
 
 
+class TestPdhg:
+    """Third algorithm (solve_method='pdhg'): matvec-only first-order
+    conic-LP solver + the shared Newton polish. Oracles: linprog and
+    the default ADMM path."""
+
+    def test_lad_lp_matches_linprog(self):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        n_, m_ = 3, 7
+        x = ct.Variable(n_, nonneg=True)
+        A = ct.Parameter((m_, n_))
+        b = ct.Parameter(m_)
+        layer = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.pnorm(A @ x - b, 1))),
+            parameters=[A, b], variables=[x],
+        )
+        rng_ = np.random.default_rng(7)
+        Av = rng_.standard_normal((m_, n_))
+        bv = rng_.standard_normal(m_)
+        sargs = {"solve_method": "pdhg", "max_iters": 4000}
+        (xs,), st_, _ = layer.solve_with_info(
+            jnp.asarray(Av), jnp.asarray(bv), solver_args=sargs
+        )
+        assert int(st_) == 0
+        c = np.concatenate([np.zeros(n_), np.ones(m_)])
+        A_ub = np.block(
+            [[Av, -np.eye(m_)], [-Av, -np.eye(m_)],
+             [-np.eye(n_), np.zeros((n_, m_))]]
+        )
+        b_ub = np.concatenate([bv, -bv, np.zeros(n_)])
+        ref = scipy.optimize.linprog(c, A_ub=A_ub, b_ub=b_ub,
+                                     bounds=(None, None), method="highs")
+        np.testing.assert_allclose(np.asarray(xs), ref.x[:n_], atol=1e-6)
+
+    def test_socp_grads_match_admm(self):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        n_ = 6
+        w = ct.Variable(n_, nonneg=True)
+        mu = ct.Parameter(n_)
+        layer = CvxpyLayer(
+            ct.Problem(ct.Maximize(mu @ w),
+                       [ct.norm(w, 2) <= 1.0, ct.sum(w) == 1]),
+            parameters=[mu], variables=[w],
+        )
+        rng_ = np.random.default_rng(8)
+        muv = jnp.asarray(rng_.standard_normal(n_) * 0.3)
+
+        def loss(mode):
+            def f(m_):
+                sargs = {"solve_method": mode, "max_iters": 4000}
+                return jnp.sum(layer(m_, solver_args=sargs)[0] ** 2)
+            return f
+
+        g_admm = jax.grad(loss("admm"))(muv)
+        g_pdhg = jax.grad(loss("pdhg"))(muv)
+        np.testing.assert_allclose(np.asarray(g_pdhg),
+                                   np.asarray(g_admm), atol=1e-5)
+
+    def test_infeasible_status(self):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        x = ct.Variable(1)
+        lo = ct.Parameter(1)
+        layer = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.sum(x)), [x >= lo, x <= -1.0]),
+            parameters=[lo], variables=[x],
+        )
+        _, st_, _ = layer.solve_with_info(
+            jnp.asarray([1.0]),
+            solver_args={"solve_method": "pdhg", "max_iters": 4000},
+        )
+        assert int(st_) == PRIMAL_INFEASIBLE
+
+    def test_quadratic_objective_raises(self):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        x = ct.Variable(2)
+        t = ct.Parameter(2)
+        layer = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.sum_squares(x - t)), [x >= 0]),
+            parameters=[t], variables=[x],
+        )
+        with pytest.raises(ValueError, match="pdhg"):
+            layer(jnp.asarray([1.0, 2.0]),
+                  solver_args={"solve_method": "pdhg"})
+
+
 class TestIpmHsde:
     """Homogeneous self-dual embedding (ipm_mode): the BASELINE north
     star formulation, auto-selected for problems with no quadratic
