@@ -90,6 +90,7 @@ _SOLVER_ARG_KEYS = {
     "derivative": ("derivative",),
     "assembly": ("assembly",),
     "linsys_iters": ("linsys_iters",),
+    "matmul_precision": ("matmul_precision",),
 }
 
 
@@ -184,6 +185,15 @@ def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
                     f"got {v!r}"
                 )
             kw["assembly"] = mode
+            continue
+        if k == "matmul_precision":
+            mode = str(v).lower()
+            if mode not in ("default", "high", "highest"):
+                raise ValueError(
+                    "matmul_precision must be 'default', 'high' or "
+                    f"'highest', got {v!r}"
+                )
+            kw["matmul_precision"] = mode
             continue
         if k not in _SOLVER_ARG_KEYS:
             raise ValueError(f"unknown solver_args key: {k!r}")
@@ -407,6 +417,15 @@ class CvxpyLayer:
                     P, q, A, b = assemble(p_row)[:4]
                     return solver(P, q, A, b, x0_, y0_, s0_)
 
+                if settings.matmul_precision != "default":
+                    # pin EVERY matmul in the solve (not just the
+                    # always-pinned cancellation-critical spots): TPU f32
+                    # then tracks CPU f32 on borderline-degenerate
+                    # instances (see SolverSettings.matmul_precision)
+                    with jax.default_matmul_precision(
+                        settings.matmul_precision
+                    ):
+                        return jax.vmap(solve_one)(p_ext, x0, y0, s0)
                 return jax.vmap(solve_one)(p_ext, x0, y0, s0)
 
             self._cores[settings] = jax.jit(core)

@@ -82,6 +82,16 @@ class SolverSettings:
     # "auto" = dense until m*n crosses matfree._DENSE_ASSEMBLY_LIMIT
     linsys_iters: int = 10       # matrix-free ADMM x-update CG budget
     # (warm-started at the previous iterate; SCS-indirect-style)
+    matmul_precision: str = "default"  # "default" | "high" | "highest":
+    # wraps the WHOLE solve in jax.default_matmul_precision. On TPU,
+    # f32 matmuls feed the MXU bf16 inputs by default, which perturbs
+    # problem data and residuals by ~1e-3 relative; the
+    # cancellation-critical spots (KKT residual, data assembly, Q
+    # construction) are always pinned to "highest" internally, but
+    # borderline-degenerate instances can still land in a different
+    # polish basin than CPU f32. "highest" makes TPU f32 track CPU f32
+    # at a modest matmul slowdown — set it when the last fraction of a
+    # percent of solved instances matters more than throughput.
 
     def replace(self, **kw) -> "SolverSettings":
         return dataclasses.replace(self, **kw)

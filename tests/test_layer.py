@@ -559,3 +559,50 @@ class TestForwardModeDerivative:
         layer, (vv, Gv, hv) = self._layer()
         with pytest.raises(ValueError, match="derivative"):
             layer(vv, Gv, hv, solver_args={"derivative": "central"})
+
+
+class TestMatmulPrecision:
+    """solver_args matmul_precision: pins every matmul in the solve via
+    jax.default_matmul_precision (on TPU f32 the MXU takes bf16 inputs
+    by default, which can flip borderline-degenerate instances into a
+    different polish basin than CPU f32 — measured solved 0.984 -> 1.0
+    on the LAD bench config). On CPU the modes are numerically
+    equivalent, so these are contract tests."""
+
+    def _layer(self):
+        n, m = 3, 5
+        x = ct.Variable(n, nonneg=True)
+        A = ct.Parameter((m, n))
+        b = ct.Parameter(m)
+        prob = ct.Problem(ct.Minimize(0.5 * ct.pnorm(A @ x - b, 1)))
+        return CvxpyLayer(prob, parameters=[A, b], variables=[x]), (n, m)
+
+    def test_solution_and_grads_match_default(self):
+        layer, (n, m) = self._layer()
+        r = np.random.default_rng(11)
+        Av = jnp.asarray(r.standard_normal((4, m, n)), jnp.float32)
+        bv = jnp.asarray(r.standard_normal((4, m)), jnp.float32)
+
+        def loss(mp):
+            def f(A_):
+                sa = {"eps": 1e-4, "max_iters": 600}
+                if mp:
+                    sa["matmul_precision"] = mp
+                return jnp.sum(layer(A_, bv, solver_args=sa)[0] ** 2)
+            return f
+
+        v0, g0 = jax.value_and_grad(loss(None))(Av)
+        for mp in ("high", "highest"):
+            v1, g1 = jax.value_and_grad(loss(mp))(Av)
+            np.testing.assert_allclose(float(v1), float(v0),
+                                       atol=1e-5, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_invalid_value_rejected(self):
+        layer, (n, m) = self._layer()
+        r = np.random.default_rng(12)
+        Av = jnp.asarray(r.standard_normal((m, n)), jnp.float32)
+        bv = jnp.asarray(r.standard_normal(m), jnp.float32)
+        with pytest.raises(ValueError, match="matmul_precision"):
+            layer(Av, bv, solver_args={"matmul_precision": "bf16"})
