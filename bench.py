@@ -123,10 +123,22 @@ def _build_layers(ct):
         jnp.asarray(rng.standard_normal((B, n)) * 0.1, dtype),
         jnp.asarray(rng.standard_normal((B, k, n)) / np.sqrt(n), dtype),
     )
+    # HSDE-IPM + spectral-Schur polish (not ADMM): ~3% of random
+    # risk-budget instances are doubly degenerate (SOC boundary active
+    # AND the optimum at a 2-3-asset vertex) — ADMM stalls at ~1e-3 on
+    # them (median iters = max) and the CG-direction polish freezes at
+    # Gauss-Newton stationary points, even in f64. The HSDE IPM plus
+    # EXACT spectral-Schur Newton directions solves 512/512 at eps 1e-4
+    # (measured; plain ipm leaves 1, admm leaves 16).
+    # ipm_eps 1e-5 (internal target = final eps / 10): an IPM that quits
+    # exactly at eps hands the polish a basin-edge point on the doubly
+    # degenerate instances; matmul_precision highest keeps TPU f32 in
+    # the same basins as CPU f32 (solved 0.988 -> 1.0 measured).
     cfgs["markowitz_socp"] = (
         soc, soc_params,
-        _tuned_args({"max_iters": 500, "epoch": 100,
-                     "refine_steps": 10}), B,
+        _tuned_args({"solve_method": "ipm", "kkt_mode": "spectral",
+                     "refine_steps": 15, "ipm_eps": 1e-5,
+                     "matmul_precision": "highest"}), B,
     )
 
     # ---- 4. exp-cone softmax layer with equality dual output
@@ -144,9 +156,14 @@ def _build_layers(ct):
     # ~300 iterations; the (kink-escaping, full-precision-CG) Newton
     # polish owns the accuracy (512/512 solved at ~7e-7 on v5e; 20 steps
     # suffice with the factored-D CG + batched damping ladder)
+    # max_iters 700 (not 300): the last ~0.4% of instances need the
+    # extra face-identification iterations — 300 leaves solved at
+    # 0.996, 500 at 0.998, 700 measures 1.0 on v5e (the while_loop
+    # exits early for converged batches, so the cost is the straggler
+    # tail only: ~8%)
     cfgs["softmax_duals"] = (
         sm, sm_params,
-        _tuned_args({"max_iters": 300, "epoch": 100,
+        _tuned_args({"max_iters": 700, "epoch": 100,
                      "refine_steps": 20}), B,
     )
 
@@ -170,10 +187,20 @@ def _build_layers(ct):
         jnp.asarray(rng.standard_normal((B, k_lg, n_lg))
                     / np.sqrt(n_lg), dtype),
     )
+    # dense-assembly HSDE-IPM, not the sparse ADMM route: at this size
+    # the batched dense route is still 8x faster end-to-end (1.6s vs
+    # 15s per 128-batch on v5e) because the degenerate-vertex SOCP
+    # pathology (see markowitz_socp) forces first-order methods to
+    # ~3000 iterations while the IPM needs 12 — and the sparse route is
+    # ADMM-only. matmul_precision highest is what lets the f32 IPM
+    # converge at all here (without it the central path stalls at the
+    # bf16 data floor and every instance runs to the iteration cap);
+    # spectral polish + ipm_eps finish the degenerate tail.
     cfgs["markowitz_large_n500"] = (
         soc_lg, soc_lg_params,
-        _tuned_args({"max_iters": 1000, "epoch": 100, "cg_iters": 100,
-                     "refine_steps": 10}), B,
+        _tuned_args({"assembly": "dense", "solve_method": "ipm",
+                     "kkt_mode": "spectral", "refine_steps": 15,
+                     "ipm_eps": 1e-5, "matmul_precision": "highest"}), B,
     )
 
     # ---- 2b. IPM on the box-QP class (the second algorithm's TPU

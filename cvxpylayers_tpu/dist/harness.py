@@ -185,6 +185,15 @@ def worker(args) -> None:
             layer, args.batch, args.n, meshG, args.steps, dtype
         )
         results["n_hosts"] = jax.process_count()
+    if args.sweep_batch:
+        # throughput vs batch size (VERDICT r2: a fixed small batch
+        # understates accelerator throughput — report the curve)
+        sweep = {}
+        for B in (64, 256, 1024, 4096):
+            sweep[str(B)] = round(
+                _throughput(layer, B, args.n, meshL, args.steps, dtype), 1
+            )
+        results["solves_per_s_1host_by_batch"] = sweep
     if args.gp:
         gp_layer = _build_gp_problem()
         results["gp_solves_per_s_1host"] = _gp_throughput(
@@ -211,6 +220,9 @@ def main() -> None:
                     help="also measure the gp=True config (BASELINE "
                          "config 5) on the 1-host and N-host meshes")
     ap.add_argument("--gp-batch", type=int, default=1024)
+    ap.add_argument("--sweep-batch", action="store_true",
+                    help="also sweep batch size 64..4096 on the 1-host "
+                         "mesh (throughput-vs-batch curve)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (virtual devices)")
     ap.add_argument("--proc-id", type=int, default=None,

@@ -75,6 +75,8 @@ _SOLVER_ARG_KEYS = {
     "admm_eps_rel": ("admm_eps_rel",),
     "max_iters": ("max_iters", "ipm_max_iters"),
     "ipm_max_iters": ("ipm_max_iters",),
+    "ipm_eps_abs": ("ipm_eps_abs",),
+    "ipm_eps": ("ipm_eps_abs",),
     "schur_iters": ("schur_iters",),
     "cg_iters": ("cg_iters",),
     "epoch": ("epoch",),

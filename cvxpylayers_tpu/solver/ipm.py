@@ -257,6 +257,15 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
     m = dims.total
     st = settings
     max_it = st.ipm_max_iters
+    # internal IPM convergence target. Like admm_eps for ADMM, this can
+    # be TIGHTER than the final (post-polish) eps: on doubly degenerate
+    # instances (SOC boundary active AND the optimum at a vertex) an IPM
+    # that quits exactly at eps hands the polish a point on the EDGE of
+    # its basin — the semismooth Newton then stalls at a Gauss-Newton
+    # stationary point and the final check fails. Two more central-path
+    # steps (eps/10) land inside the basin (measured: the two Markowitz
+    # bench instances unsolved at ipm_eps=1e-4 polish to 1e-8 at 1e-5).
+    ipm_eps = st.ipm_eps_abs if st.ipm_eps_abs > 0 else st.eps_abs
     # cone degree (barrier parameter normalization; CVXOPT convention:
     # 1 per nonneg row, 1 per SOC block, matrix side per PSD block,
     # 3 per exp/pow block)
@@ -813,9 +822,9 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
             d_res = jnp.max(jnp.abs(rx2))
             scale = 1.0 + jnp.maximum(q_norm, b_norm)
             done = (
-                (p_res <= st.eps_abs * scale)
-                & (d_res <= st.eps_abs * scale)
-                & (mu2 <= st.eps_abs * scale)
+                (p_res <= ipm_eps * scale)
+                & (d_res <= ipm_eps * scale)
+                & (mu2 <= ipm_eps * scale)
             )
             # best-iterate tracking: return the lowest-merit iterate, not
             # the last (an f32 run that stalls near its precision floor
@@ -1019,9 +1028,9 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
             d_res = jnp.max(jnp.abs(rxh))
             gap = ((sh @ zh if mi else 0.0)) / degree
             done = (
-                (p_res <= st.eps_abs * scale)
-                & (d_res <= st.eps_abs * scale)
-                & (gap <= st.eps_abs * scale)
+                (p_res <= ipm_eps * scale)
+                & (d_res <= ipm_eps * scale)
+                & (gap <= ipm_eps * scale)
             )
             # tau -> 0: the iterate IS the certificate (exact, not an
             # almost-certificate heuristic)

@@ -51,6 +51,11 @@ class SolverSettings:
     ipm_max_iters: int = 100     # IPM iteration cap (IPM iters are ~100x an
     # ADMM iter, so it gets its own knob; solver_args {"max_iters": k}
     # lowers both so user intent is honored on either path)
+    ipm_eps_abs: float = 0.0     # internal IPM convergence target
+    # (0 = use eps_abs). Like admm_eps, this can be TIGHTER than the
+    # final post-polish eps: an IPM that quits exactly at eps can hand
+    # the Newton polish a point on the EDGE of its basin on doubly
+    # degenerate instances — eps/10 lands inside it (see ipm.py)
     cg_iters: int = 40           # CG budget for the f32 general-cone
     # KKT solve (normal equations; conditioning is squared, so this
     # needs more iterations than schur_iters)

@@ -1139,3 +1139,45 @@ class TestSpectralKktMode:
         )
         with pytest.raises(ValueError, match="kkt_mode"):
             layer(jnp.zeros(2), solver_args={"kkt_mode": "bogus"})
+
+
+class TestIpmEps:
+    """ipm_eps (internal IPM target, like admm_eps for ADMM): a tighter
+    internal target than the final eps lands the polish INSIDE its basin
+    on degenerate instances (the r3 Markowitz-bench fix). Contract: more
+    central-path iterations, solution at least as accurate, and the
+    solver_args alias `ipm_eps` maps to ipm_eps_abs."""
+
+    def test_tighter_target_runs_longer_and_stays_correct(self):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu import CvxpyLayer
+
+        n_, k_ = 10, 3
+        w = ct.Variable(n_, nonneg=True)
+        mu = ct.Parameter(n_)
+        F = ct.Parameter((k_, n_))
+        layer = CvxpyLayer(
+            ct.Problem(ct.Maximize(mu @ w),
+                       [ct.norm(F @ w, 2) <= 0.25, ct.sum(w) == 1]),
+            parameters=[mu, F], variables=[w],
+        )
+        rng_ = np.random.default_rng(13)
+        muv = jnp.asarray(rng_.standard_normal(n_) * 0.1)
+        Fv = jnp.asarray(rng_.standard_normal((k_, n_)) / np.sqrt(n_))
+        base = {"solve_method": "ipm", "eps_abs": 1e-4, "eps_rel": 1e-4}
+        (w_loose,), st_l, it_l = layer.solve_with_info(
+            muv, Fv, solver_args=base)
+        tight = dict(base, ipm_eps=1e-8)
+        (w_tight,), st_t, it_t = layer.solve_with_info(
+            muv, Fv, solver_args=tight)
+        assert int(st_l) == 0 and int(st_t) == 0
+        assert int(it_t) > int(it_l)
+        # both polish to the same solution
+        np.testing.assert_allclose(np.asarray(w_tight),
+                                   np.asarray(w_loose), atol=1e-6)
+
+    def test_zero_means_use_eps(self):
+        from cvxpylayers_tpu.solver.settings import SolverSettings
+
+        s = SolverSettings()
+        assert s.ipm_eps_abs == 0.0  # default: track eps_abs
