@@ -1,0 +1,130 @@
+"""Hand-rolled batched dense linear algebra for the f32 TPU path.
+
+Why this module exists (profiled on v5e, r3): XLA lowers
+jnp.linalg.{cholesky,qr,inv} to LAPACK-style custom-calls that cost
+3.5-15 ms per batched (512, 50..128)^2 call on this backend — 100-1000x
+off speed-of-light, and 92% of the whole Markowitz-IPM solve (the
+(512,113,51) QR alone was 313 ms of a 534 ms device profile; reference
+role: the dense factorizations inside diffcp's solvers, e.g. SCS's
+direct linear system, /root/reference/SURVEY.md section 2.2).
+
+The replacements below are plain-JAX masked fori_loops written
+PER-INSTANCE (vmap batches them): every iteration updates the full
+matrix under a static mask, so XLA fuses each step into a handful of
+elementwise/matvec kernels with no custom-call. Measured at the bench
+shapes: masked Cholesky 1.54 ms vs 4.88 ms custom-call at (512,64,64).
+They are numerically the SAME algorithms (right-looking Cholesky,
+Householder QR without pivoting), not approximations.
+
+Use for f32 on TPU; f64 CPU keeps the LAPACK custom-calls (faster
+there, and the f64 solver paths early-return before reaching these).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_TINY = 1e-30
+
+# Size gate: each masked loop runs n sequential full-matrix updates, so
+# its HBM traffic is ~n * n^2 * B — the same asymptotics as the
+# factorization flops but paid in bandwidth. Measured crossover vs the
+# custom-calls sits between n=113 (masked 2.8x faster) and n=501
+# (masked ~16x SLOWER: 48 s vs 3 s on the n=500 Markowitz config).
+# Callers should keep the custom-call above this.
+MASKED_MAX_DIM = 160
+
+
+def use_masked(*dims) -> bool:
+    """True when the masked-loop implementations win at these
+    (static) dimensions."""
+    return max(dims) <= MASKED_MAX_DIM
+
+
+def chol_masked(A):
+    """Right-looking Cholesky of one SPD (n, n) matrix -> lower L.
+
+    Identical recurrence to LAPACK potrf; each step divides column j by
+    sqrt(A[j,j]) and applies the masked rank-1 update to the trailing
+    block. vmap for batches.
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    idx = jnp.arange(n)
+
+    def body(j, A_):
+        d = jnp.sqrt(jnp.maximum(A_[j, j], _TINY))
+        col = jnp.where(idx >= j, A_[:, j] / d, 0.0)
+        u = jnp.where(idx > j, col, 0.0).astype(dtype)
+        A_ = A_ - u[:, None] * u[None, :]
+        return A_.at[:, j].set(col)
+
+    L = jax.lax.fori_loop(0, n, body, A)
+    return jnp.tril(L)
+
+
+def house_qr_r(M):
+    """R factor of the QR of one (m, n) matrix (m >= n), Householder,
+    no pivoting — the masked-loop replacement for
+    jnp.linalg.qr(M, mode='r').
+
+    Row signs of R may differ from LAPACK's convention; every caller
+    here uses R only through R'R = M'M (semi-normal equations), which
+    is sign-invariant.
+    """
+    m, n = M.shape
+    dtype = M.dtype
+    ridx = jnp.arange(m)
+
+    def body(j, M_):
+        x = jnp.where(ridx >= j, M_[:, j], 0.0)
+        xj = M_[j, j]
+        nx = jnp.sqrt(jnp.maximum(x @ x, _TINY))
+        alpha = -jnp.sign(jnp.where(xj == 0, 1.0, xj)) * nx
+        u = x.at[j].add(-alpha)
+        nu = jnp.sqrt(jnp.maximum(u @ u, _TINY))
+        u = (u / nu).astype(dtype)
+        # apply the reflector H = I - 2uu' to the whole matrix (columns
+        # < j have zero masked rows, so they are untouched)
+        M_ = M_ - 2.0 * jnp.outer(u, u @ M_)
+        # pin column j exactly: zeros below the diagonal, alpha on it
+        col = jnp.where(ridx == j, alpha, 0.0) + jnp.where(
+            ridx < j, M_[:, j], 0.0
+        )
+        return M_.at[:, j].set(col.astype(dtype))
+
+    R = jax.lax.fori_loop(0, n, body, M)
+    return jnp.triu(R[:n, :n])
+
+
+def tri_inv_masked(L, lower: bool = True):
+    """Explicit inverse of one triangular (n, n) matrix by masked
+    forward substitution on the identity (column-wise recurrence).
+    Replacement for solve_triangular(L, eye)."""
+    n = L.shape[0]
+    if not lower:
+        return tri_inv_masked(L.T, lower=True).T
+    dtype = L.dtype
+    idx = jnp.arange(n)
+    d = jnp.diagonal(L)
+    dinv = 1.0 / jnp.where(jnp.abs(d) > _TINY, d, _TINY)
+
+    def body(j, X):
+        # column j of L^{-1}: x_j = (e_j - L_strict x) / diag, built
+        # row-by-row is sequential; instead use the row recurrence:
+        # X[j, :] = (I[j, :] - L[j, :j] @ X[:j, :]) / L[j, j]
+        lrow = jnp.where(idx < j, L[j, :], 0.0).astype(dtype)
+        xrow = (jnp.where(idx == j, 1.0, 0.0) - lrow @ X) * dinv[j]
+        return X.at[j, :].set(xrow.astype(dtype))
+
+    X0 = jnp.zeros((n, n), dtype)
+    return jax.lax.fori_loop(0, n, body, X0)
+
+
+def spd_inv_via_chol(A):
+    """Inverse of one SPD matrix: chol + triangular inverse, masked —
+    all matmul/elementwise ops, no custom-calls. A^{-1} = Li' Li."""
+    L = chol_masked(A)
+    Li = tri_inv_masked(L, lower=True)
+    return Li.T @ Li

@@ -173,6 +173,18 @@ def _pow_dual_interior(v, alpha):
 
 def _soc_nt_w(sb, zb):
     """NT scaling matrix W for one SOC block (Householder form)."""
+    return _soc_nt_w_wi(sb, zb)[0]
+
+
+def _soc_nt_w_wi(sb, zb):
+    """(W, W^{-1}) for one SOC block, both in closed form.
+
+    With H = 2vv' - J and v'Jv = 1 (which the NT construction
+    guarantees), H J H = J exactly, so W = eta H has
+    W^{-1} = (1/eta) J H J = (1/eta) (2 (Jv)(Jv)' - J) — no LU
+    custom-call (jnp.linalg.inv on the (B, d, d) blocks was 64 ms of
+    the 534 ms Markowitz-IPM device profile), and exact instead of
+    factorization roundoff."""
     d = sb.shape[0]
     dtype = sb.dtype
     Jm = jnp.concatenate([jnp.ones(1, dtype), -jnp.ones(d - 1, dtype)])
@@ -185,7 +197,10 @@ def _soc_nt_w(sb, zb):
     vvec = wb.at[0].add(1.0) / jnp.sqrt(jnp.maximum(2.0 * (wb[0] + 1.0),
                                                     _TINY))
     eta = (dets / detz) ** 0.25
-    return eta * (2.0 * jnp.outer(vvec, vvec) - jnp.diag(Jm))
+    W = eta * (2.0 * jnp.outer(vvec, vvec) - jnp.diag(Jm))
+    jv = Jm * vvec
+    Wi = (2.0 * jnp.outer(jv, jv) - jnp.diag(Jm)) / eta
+    return W, Wi
 
 
 def _psd_nt_w(sb, zb, side):
@@ -341,9 +356,8 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
         for fam, off, meta in blocks:
             if fam == "soc":
                 d = meta
-                W = _soc_nt_w(s[off:off + d], z[off:off + d])
+                W, Wi = _soc_nt_w_wi(s[off:off + d], z[off:off + d])
                 T = jax.lax.dynamic_update_slice(T, W @ W, (off, off))
-                Wi = jnp.linalg.inv(W)
                 Tinv = jax.lax.dynamic_update_slice(
                     Tinv, Wi @ Wi, (off, off)
                 )
@@ -568,8 +582,19 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
                 eye_n = jnp.eye(n, dtype=dtype)
                 Lp = jnp.linalg.cholesky(P + st.sigma * eye_n)
                 if mi:
+                    from .batched_linalg import house_qr_r, use_masked
+
                     M = jnp.concatenate([Lp.T, B @ A_in], axis=0)
-                    Rm = jnp.linalg.qr(M, mode="r")
+                    # masked Householder, not jnp.linalg.qr, at small
+                    # sizes: the QR custom-call was 313 ms of the 534 ms
+                    # Markowitz-IPM device profile (6.8 ms per batched
+                    # (512,113,51) call, one per iteration); the masked
+                    # loop is the same algorithm at 2.8x (R used only
+                    # via R'R). Above the gate the custom-call wins —
+                    # the loop's n sequential passes are HBM-bound
+                    # (n=501: 16x slower, see batched_linalg).
+                    Rm = (house_qr_r(M) if use_masked(n)
+                          else jnp.linalg.qr(M, mode="r"))
                 else:
                     Rm = Lp.T
                 Rmi = jax.scipy.linalg.solve_triangular(

@@ -311,11 +311,19 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
             sig = 1e-3 * (jnp.trace(P) / n + 1.0)
             Gc = jnp.sqrt(C)[:, None] * G
             M = P + sig * jnp.eye(n, dtype=dtype) + Gc.T @ Gc
-            L = jnp.linalg.cholesky(M)
-            Li = jax.scipy.linalg.solve_triangular(
-                L, jnp.eye(n, dtype=dtype), lower=True
-            )
-            Minv = Li.T @ Li
+            from .batched_linalg import spd_inv_via_chol, use_masked
+
+            if dtype == jnp.float64 or not use_masked(n):
+                L = jnp.linalg.cholesky(M)
+                Li = jax.scipy.linalg.solve_triangular(
+                    L, jnp.eye(n, dtype=dtype), lower=True
+                )
+                Minv = Li.T @ Li
+            else:
+                # masked-loop chol+inverse, not the LAPACK custom-calls:
+                # these two factorizations were 94 ms of the 534 ms
+                # Markowitz-IPM device profile (batched_linalg docstring)
+                Minv = spd_inv_via_chol(M)
 
             GM = G @ Minv  # (m, n)
             H = msk_n[:, None] * (GM @ G.T) * msk_n[None, :]
@@ -325,13 +333,21 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
             # indefinite -> NaN cholesky on SOC portfolio instances
             s_floor = 1e-6 * (jnp.trace(H) / m) + 1e-7
             S = H + jnp.diag(Dp + msk_el + s_floor * msk_n)
-            Ls = jnp.linalg.cholesky(S)
+            if dtype == jnp.float64 or not use_masked(m):
+                Ls = jnp.linalg.cholesky(S)
 
-            def S_solve(r):
-                t1 = jax.scipy.linalg.solve_triangular(Ls, r, lower=True)
-                return jax.scipy.linalg.solve_triangular(
-                    Ls, t1, lower=True, trans=1
-                )
+                def S_solve(r):
+                    t1 = jax.scipy.linalg.solve_triangular(
+                        Ls, r, lower=True
+                    )
+                    return jax.scipy.linalg.solve_triangular(
+                        Ls, t1, lower=True, trans=1
+                    )
+            else:
+                Sinv_sp = spd_inv_via_chol(S)
+
+                def S_solve(r):
+                    return Sinv_sp @ r
 
             if not transpose:
                 # M v1 - G_N' z'_N = rhat,  (H + Dp) z' = s2_N - G_N Minv rhat
