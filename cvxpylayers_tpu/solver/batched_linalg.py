@@ -98,6 +98,117 @@ def house_qr_r(M):
     return jnp.triu(R[:n, :n])
 
 
+def house_qr_r_blocked(M, panel: int = 8):
+    """R factor of the QR of one (m, n) matrix via blocked Householder
+    (compact WY): panels of `panel` reflectors are formed with the
+    masked per-column recurrence, then applied to the trailing block as
+    TWO matmuls (I - V T V')' M — MXU work instead of n sequential
+    HBM passes. Same algorithm as LAPACK geqrt; row signs of R may
+    differ (callers use R'R only).
+
+    MEASURED NEGATIVE at bench shapes (kept for larger problems /
+    reference): end-to-end on v5e the per-column house_qr_r beats this
+    (markowitz 4.1k vs 3.8k, box_qp_ipm 8.7k vs 7.8k solves/s) — XLA
+    fuses the simple masked loop better than the panel matmul chain at
+    (113, 51). Correct to f32 rounding under matmul_precision=highest
+    (rel err 4e-7); bf16 default matmuls degrade it to ~4e-3, so only
+    use inside a highest-precision scope.
+
+    Requires n % panel == 0 (callers pad or pick a divisor).
+    """
+    m, n = M.shape
+    assert n % panel == 0, (m, n, panel)
+    dtype = M.dtype
+    ridx = jnp.arange(m)
+    n_panels = n // panel
+
+    def panel_body(p, M_):
+        base = p * panel
+        # working copy of the panel columns
+        P_ = jax.lax.dynamic_slice(M_, (0, base), (m, panel))
+        V = jnp.zeros((m, panel), dtype)
+        taus = jnp.zeros(panel, dtype)
+
+        def col_body(jj, carry):
+            P_c, V_c, taus_c = carry
+            j = base + jj
+            x = jnp.where(ridx >= j, P_c[:, jj], 0.0)
+            xj = jnp.take(x, j)
+            nx = jnp.sqrt(jnp.maximum(x @ x, _TINY))
+            alpha = -jnp.sign(jnp.where(xj == 0, 1.0, xj)) * nx
+            u = x.at[j].add(-alpha)
+            # LAPACK normalization: v[j] = 1, tau = 2 / (v'v)
+            uj = jnp.take(u, j)
+            safe_uj = jnp.where(jnp.abs(uj) > _TINY, uj, _TINY)
+            v = (u / safe_uj).astype(dtype)
+            tau = (2.0 * safe_uj * safe_uj
+                   / jnp.maximum(u @ u, _TINY)).astype(dtype)
+            # degenerate column (x already e_j-aligned): zero reflector
+            degen = nx <= _TINY
+            v = jnp.where(degen, 0.0, v)
+            tau = jnp.where(degen, 0.0, tau)
+            # apply H = I - tau v v' to the remaining panel columns
+            w = tau * (v @ P_c)
+            P_c = P_c - jnp.outer(v, w)
+            # pin column jj: R rows above j survive, alpha on the diag
+            col = jnp.where(ridx == j, jnp.where(degen, xj, alpha), 0.0) \
+                + jnp.where(ridx < j, P_c[:, jj], 0.0)
+            P_c = P_c.at[:, jj].set(col.astype(dtype))
+            V_c = V_c.at[:, jj].set(v)
+            taus_c = taus_c.at[jj].set(tau)
+            return P_c, V_c, taus_c
+
+        P_, V, taus = jax.lax.fori_loop(
+            0, panel, col_body, (P_, V, taus)
+        )
+        M_ = jax.lax.dynamic_update_slice(M_, P_, (0, base))
+
+        # compact WY: T upper-triangular with T[jj,jj] = tau_jj,
+        # T[:jj, jj] = -tau_jj T[:jj, :jj] (V' v_jj)[:jj]
+        G = V.T @ V  # (panel, panel)
+
+        def t_body(jj, T_):
+            tcol = -taus[jj] * (T_ @ G[:, jj])
+            tcol = jnp.where(jnp.arange(panel) < jj, tcol, 0.0)
+            tcol = tcol.at[jj].set(taus[jj])
+            return T_.at[:, jj].set(tcol.astype(dtype))
+
+        T = jax.lax.fori_loop(
+            0, panel, t_body, jnp.zeros((panel, panel), dtype)
+        )
+
+        # trailing update: M_trail -= V T' (V' M_trail), done on the
+        # FULL column range with the processed columns masked static-
+        # shape-safe (their masked rows are already zero, and columns
+        # < base have zero V rows overlap — V is zero above row base)
+        cidx = jnp.arange(n)
+        trail_mask = (cidx >= base + panel).astype(dtype)
+        Mt = M_ * trail_mask[None, :]
+        upd = V @ (T.T @ (V.T @ Mt))
+        M_ = M_ - upd * trail_mask[None, :]
+        return M_
+
+    R = jax.lax.fori_loop(0, n_panels, panel_body, M)
+    return jnp.triu(R[:n, :n])
+
+
+def qr_r(M, panel: int = 8):
+    """R of the QR of one (m, n) matrix via the blocked Householder,
+    zero-padding the columns to a multiple of `panel` (zero columns
+    produce zero reflectors via the degenerate guard and zero R
+    columns, so R[:n, :n] is unchanged)."""
+    m, n = M.shape
+    if n < 2 * panel:
+        return house_qr_r(M)
+    pad = (-n) % panel
+    if pad:
+        M = jnp.concatenate(
+            [M, jnp.zeros((m, pad), M.dtype)], axis=1
+        )
+    R = house_qr_r_blocked(M, panel=panel)
+    return R[:n, :n]
+
+
 def tri_inv_masked(L, lower: bool = True):
     """Explicit inverse of one triangular (n, n) matrix by masked
     forward substitution on the identity (column-wise recurrence).

@@ -589,10 +589,15 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
                     # sizes: the QR custom-call was 313 ms of the 534 ms
                     # Markowitz-IPM device profile (6.8 ms per batched
                     # (512,113,51) call, one per iteration); the masked
-                    # loop is the same algorithm at 2.8x (R used only
-                    # via R'R). Above the gate the custom-call wins —
-                    # the loop's n sequential passes are HBM-bound
-                    # (n=501: 16x slower, see batched_linalg).
+                    # loop is the same algorithm without the custom-call
+                    # (R used only via R'R). Above the gate the
+                    # custom-call wins — the loop's sequential
+                    # full-matrix passes are HBM-bound (n=501: 16x
+                    # slower). The blocked-WY variant (batched_linalg.
+                    # qr_r) measured SLOWER end-to-end here (3.8k vs
+                    # 4.1k markowitz, 7.8k vs 8.7k box_qp_ipm) — XLA
+                    # fuses the per-column loop better than the panel
+                    # matmul chain at these shapes.
                     Rm = (house_qr_r(M) if use_masked(n)
                           else jnp.linalg.qr(M, mode="r"))
                 else:

@@ -111,3 +111,32 @@ class TestSocNtClosedFormInverse:
                 np.asarray(W) @ np.asarray(z),
                 np.asarray(Wi) @ np.asarray(s), atol=1e-9,
             )
+
+
+class TestBlockedQr:
+    """Blocked-WY variant (kept for reference; per-column wins at bench
+    shapes — see its docstring)."""
+
+    def test_matches_per_column(self):
+        M = rng.standard_normal((40, 16))
+        Rb = np.asarray(house_qr_r(jnp.asarray(M)))
+        from cvxpylayers_tpu.solver.batched_linalg import (
+            house_qr_r_blocked, qr_r,
+        )
+
+        for R in (
+            np.asarray(house_qr_r_blocked(jnp.asarray(M), panel=8)),
+            np.asarray(house_qr_r_blocked(jnp.asarray(M), panel=4)),
+            np.asarray(qr_r(jnp.asarray(M))),
+        ):
+            np.testing.assert_allclose(R.T @ R, Rb.T @ Rb,
+                                       rtol=1e-9, atol=1e-9)
+
+    def test_padding_path(self):
+        from cvxpylayers_tpu.solver.batched_linalg import qr_r
+
+        M = rng.standard_normal((60, 27))  # 27 -> padded to 32
+        R = np.asarray(qr_r(jnp.asarray(M)))
+        assert R.shape == (27, 27)
+        np.testing.assert_allclose(R.T @ R, M.T @ M,
+                                   rtol=1e-9, atol=1e-9)
