@@ -39,12 +39,13 @@ _EXEC_CACHE: Dict[Tuple, object] = {}
 
 
 def _shared_core(dims, n, settings: SolverSettings, p_diag_full=True,
-                 p_diag_only=False):
-    key = (dims, n, settings, p_diag_full, p_diag_only)
+                 p_diag_only=False, p_zero=False):
+    key = (dims, n, settings, p_diag_full, p_diag_only, p_zero)
     if key not in _EXEC_CACHE:
         solver = make_diff_solver(dims, n, settings,
                                   p_diag_full=p_diag_full,
-                                  p_diag_only=p_diag_only)
+                                  p_diag_only=p_diag_only,
+                                  p_zero=p_zero)
         _EXEC_CACHE[key] = jax.jit(
             jax.vmap(lambda P_, q_, A_, b_, x0, y0, s0:
                      solver(P_, q_, A_, b_, x0, y0, s0))
@@ -56,9 +57,11 @@ def structure_key(layer: CvxpyLayer, settings: SolverSettings):
     """The bucket key: everything the compiled solve specializes on
     (incl. the static P-diagonal flags that pick the f32 KKT route —
     p_diag_only additionally selects the elementwise P-inverse fast
-    path, so layers differing in it must not share an executable)."""
+    path, and p_zero gates the pdhg/hsde routes, so layers differing in
+    them must not share an executable)."""
     return (layer.prog.dims, layer.prog.n, settings,
-            layer._p_diag_full, layer._p_diag_only)
+            layer._p_diag_full, layer._p_diag_only,
+            layer.prog.P_rows.size == 0)
 
 
 def _assemble_batch(layer: CvxpyLayer, params):
@@ -121,7 +124,7 @@ def solve_bucketed(items: Sequence[Tuple[CvxpyLayer, tuple]],
     results: List[Optional[tuple]] = [None] * len(items)
     states: Dict[Tuple, tuple] = {}
     for key, entries in buckets.items():
-        dims, n, settings, p_diag_full, p_diag_only = key
+        dims, n, settings, p_diag_full, p_diag_only, p_zero = key
         m = dims.total
         P = jnp.concatenate([e[3] for e in entries])
         q = jnp.concatenate([e[4] for e in entries])
@@ -159,7 +162,7 @@ def solve_bucketed(items: Sequence[Tuple[CvxpyLayer, tuple]],
                     jnp.asarray(wsl, dtype),
                 )
         x, y, s, status, iters = _shared_core(
-            dims, n, settings, p_diag_full, p_diag_only
+            dims, n, settings, p_diag_full, p_diag_only, p_zero
         )(P, q, A, b, *init)
         if return_state:
             states[key] = (

@@ -127,7 +127,7 @@ class BucketScheduler:
         self._queue = []
 
         for key, tickets in by_key.items():
-            dims, n, settings, p_diag_full, p_diag_only = key
+            dims, n, settings, p_diag_full, p_diag_only, p_zero = key
             m = dims.total
             st = self._buckets.setdefault(key, _BucketState())
 
@@ -171,7 +171,7 @@ class BucketScheduler:
                 init = tuple(jnp.asarray(wv, dtype) for wv in st.warm)
 
             x, y, s, status, iters = _shared_core(
-                dims, n, settings, p_diag_full, p_diag_only
+                dims, n, settings, p_diag_full, p_diag_only, p_zero
             )(P, q, A, b, *init)
             if self.warm_start:
                 st.warm = (

@@ -699,6 +699,13 @@ class CvxpyLayer:
                     pobj = 0.5 * x @ Px + q @ x + off
                     return x, y, status, iters, pobj
 
+                if settings.matmul_precision != "default":
+                    # same pinning as _core: Problem.solve() must see
+                    # the identical numerics as the layer call
+                    with jax.default_matmul_precision(
+                        settings.matmul_precision
+                    ):
+                        return jax.vmap(solve_one)(p_ext, x0, y0, s0)
                 return jax.vmap(solve_one)(p_ext, x0, y0, s0)
 
             self._pobj_cores[settings] = jax.jit(core)

@@ -134,7 +134,8 @@ def house_qr_r_blocked(M, panel: int = 8):
             j = base + jj
             x = jnp.where(ridx >= j, P_c[:, jj], 0.0)
             xj = jnp.take(x, j)
-            nx = jnp.sqrt(jnp.maximum(x @ x, _TINY))
+            xx = x @ x
+            nx = jnp.sqrt(jnp.maximum(xx, _TINY))
             alpha = -jnp.sign(jnp.where(xj == 0, 1.0, xj)) * nx
             u = x.at[j].add(-alpha)
             # LAPACK normalization: v[j] = 1, tau = 2 / (v'v)
@@ -143,8 +144,10 @@ def house_qr_r_blocked(M, panel: int = 8):
             v = (u / safe_uj).astype(dtype)
             tau = (2.0 * safe_uj * safe_uj
                    / jnp.maximum(u @ u, _TINY)).astype(dtype)
-            # degenerate column (x already e_j-aligned): zero reflector
-            degen = nx <= _TINY
+            # degenerate column (exactly zero below the diagonal, e.g.
+            # qr_r's zero padding): zero reflector. Compare x'x, not the
+            # _TINY-floored norm — nx >= sqrt(_TINY) is never <= _TINY.
+            degen = xx <= _TINY
             v = jnp.where(degen, 0.0, v)
             tau = jnp.where(degen, 0.0, tau)
             # apply H = I - tau v v' to the remaining panel columns

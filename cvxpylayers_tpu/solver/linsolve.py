@@ -51,12 +51,11 @@ def _cg_normal(matvec, matvec_T, rhs, iters: int):
     return x
 
 
-def _cg_spd(matvec, rhs, iters: int):
-    """Plain CG for an SPD (or SPSD-with-consistent-rhs) system."""
-    x = jnp.zeros_like(rhs)
-    r = rhs
-    p = r
-    rs = jnp.vdot(r, r).real
+def _cg_spd_from(matvec, x0, r0, iters: int):
+    """Shared CG loop for an SPD (or SPSD-with-consistent-rhs) system,
+    starting from iterate x0 with residual r0 = rhs - A x0."""
+    p = r0
+    rs = jnp.vdot(r0, r0).real
 
     def body(carry, _):
         x, r, p, rs = carry
@@ -71,33 +70,22 @@ def _cg_spd(matvec, rhs, iters: int):
         p = r + beta * p
         return (x, r, p, rs_new), None
 
-    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rs), None, length=iters)
+    (x, _, _, _), _ = jax.lax.scan(
+        body, (x0, r0, p, rs), None, length=iters
+    )
     return x
+
+
+def _cg_spd(matvec, rhs, iters: int):
+    """Plain CG from zero."""
+    return _cg_spd_from(matvec, jnp.zeros_like(rhs), rhs, iters)
 
 
 def _cg_spd_warm(matvec, rhs, x0, iters: int):
-    """CG for an SPD system, warm-started at x0 (used by the matrix-free
-    ADMM x-update, where consecutive right-hand sides differ by O(step)
-    and the previous solution is an excellent initial iterate)."""
-    r = rhs - matvec(x0)
-    p = r
-    rs = jnp.vdot(r, r).real
-
-    def body(carry, _):
-        x, r, p, rs = carry
-        Ap = matvec(p)
-        denom = jnp.vdot(p, Ap).real
-        alpha = jnp.where(denom > 0, rs / jnp.where(denom > 0, denom, 1.0),
-                          0.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        rs_new = jnp.vdot(r, r).real
-        beta = rs_new / jnp.where(rs > 0, rs, 1.0)
-        p = r + beta * p
-        return (x, r, p, rs_new), None
-
-    (x, _, _, _), _ = jax.lax.scan(body, (x0, r, p, rs), None, length=iters)
-    return x
+    """CG warm-started at x0 (used by the matrix-free ADMM x-update,
+    where consecutive right-hand sides differ by O(step) and the
+    previous solution is an excellent initial iterate)."""
+    return _cg_spd_from(matvec, x0, rhs - matvec(x0), iters)
 
 
 def solve_square(J: jax.Array, rhs: jax.Array, *, transpose: bool = False,

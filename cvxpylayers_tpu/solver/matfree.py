@@ -92,9 +92,13 @@ class SparseOps:
         self._ac_t = np.asarray(A_cols)[perm].astype(np.int32)
         self._pr = np.asarray(P_rows, np.int32)
         self._pc = np.asarray(P_cols, np.int32)
-        # static: is P structurally diagonal-only / full-diagonal?
+        # diagonal mask for P_diag/P_trace. NOTE: the layer's
+        # _p_diag_only (FULL diagonal present and nothing else) is the
+        # flag that picks the polyhedral KKT fast path — an
+        # all-diagonal-but-incomplete P deliberately does NOT qualify
+        # (its missing entries would invert to 1/sigma), so no
+        # per-object p_diag_only is derived here.
         diag_mask = np.asarray(P_rows) == np.asarray(P_cols)
-        self.p_diag_only = bool(self.nnz_P and diag_mask.all())
         self._p_diag_mask = diag_mask.astype(np.float64)
 
     # ---------------------------------------------------------- A matvecs

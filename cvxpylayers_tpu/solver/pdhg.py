@@ -68,15 +68,21 @@ def make_pdhg_solver(dims: ConeDims, n: int, settings: SolverSettings):
             P, A, q, b, group_ids, n_groups, st.scaling_iters
         )
 
-        # ||A||_2 estimate by power iteration (8 rounds on the scaled A)
+        # ||A||_2 estimate by power iteration. The estimate converges
+        # FROM BELOW, and tau*sigma*||A||^2 < 1 is the convergence
+        # condition — an underestimate breaks it. 12 rounds plus a 1.1
+        # safety factor keep tau*sigma*||A||^2 <= 0.81/1.21 even with a
+        # ~10% residual underestimate (clustered top singular values /
+        # unlucky start); the extra margin costs a few percent of
+        # iterations, never correctness.
         def pow_body(_, v):
             w = As.T @ (As @ v)
             return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
 
         v0 = jnp.ones(n, dtype) / jnp.sqrt(jnp.asarray(float(n), dtype))
-        v = jax.lax.fori_loop(0, 8, pow_body, v0)
-        a_norm = jnp.maximum(jnp.linalg.norm(As @ v), 1e-12)
-        step = 0.9 / jnp.maximum(a_norm, 1e-12)
+        v = jax.lax.fori_loop(0, 12, pow_body, v0)
+        a_norm = 1.1 * jnp.maximum(jnp.linalg.norm(As @ v), 1e-12)
+        step = 0.9 / a_norm
 
         x = x0 / D
         y = c * y0 / E

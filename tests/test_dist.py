@@ -75,7 +75,7 @@ class TestBucketing:
         assert la._p_diag_only is True
         settings = _settings_from_args(la._base_settings, None)
         key = structure_key(la, settings)
-        assert key[-1] is True
+        assert key[-2] is True   # p_diag_only (key[-1] is p_zero)
 
         # quad-form layer: dense parametric P -> p_diag_only False,
         # different key even if cone pattern/n/settings matched
@@ -90,7 +90,7 @@ class TestBucketing:
         )
         assert lq._p_diag_only is False
         kq = structure_key(lq, _settings_from_args(lq._base_settings, None))
-        assert kq[-1] is False
+        assert kq[-2] is False
 
         # route parity: the bucketed result matches the direct call,
         # which exercises the p_diag_only fast path end to end
@@ -297,3 +297,49 @@ class TestBucketScheduler:
             e = jnp.zeros(5).at[i].set(eps)
             fd = (f(v + e) - f(v - e)) / (2 * eps)
             assert abs(float(g[i]) - float(fd)) < 1e-4
+
+
+class TestBucketedPZero:
+    """Bucketed solves must thread p_zero into make_diff_solver: without
+    it, solve_method='pdhg' (and ipm_mode='hsde') raised through
+    solve_bucketed on pure conic LPs that the direct layer call accepts,
+    and 'auto' silently used the primal-dual IPM instead of HSDE
+    (r3 review finding)."""
+
+    def test_pdhg_through_buckets_matches_direct(self):
+        import cvxpylayers_tpu as ct
+
+        n_, m_ = 3, 5
+        x = ct.Variable(n_, nonneg=True)
+        A = ct.Parameter((m_, n_))
+        b = ct.Parameter(m_)
+        layer = ct.CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.pnorm(A @ x - b, 1))),
+            parameters=[A, b], variables=[x],
+        )
+        r = np.random.default_rng(23)
+        Av = jnp.asarray(r.standard_normal((2, m_, n_)))
+        bv = jnp.asarray(r.standard_normal((2, m_)))
+        sa = {"solve_method": "pdhg", "max_iters": 4000}
+        res = solve_bucketed([(layer, (Av, bv))], solver_args=sa)
+        (ref,) = layer(Av, bv, solver_args=sa)
+        np.testing.assert_allclose(np.asarray(res[0][0]),
+                                   np.asarray(ref), atol=1e-7)
+
+    def test_p_zero_in_structure_key(self):
+        import cvxpylayers_tpu as ct
+        from cvxpylayers_tpu.dist.bucketing import structure_key
+        from cvxpylayers_tpu.solver.settings import SolverSettings
+
+        x = ct.Variable(2, nonneg=True)
+        c = ct.Parameter(2)
+        lp = ct.CvxpyLayer(ct.Problem(ct.Minimize(c @ x), [ct.sum(x) == 1]),
+                           parameters=[c], variables=[x])
+        qp = ct.CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.sum_squares(x - c)),
+                       [ct.sum(x) == 1]),
+            parameters=[c], variables=[x],
+        )
+        s = SolverSettings()
+        assert structure_key(lp, s)[-1] is True
+        assert structure_key(qp, s)[-1] is False
