@@ -86,6 +86,8 @@ _SOLVER_ARG_KEYS = {
     "refine_steps": ("refine_steps",),
     "scaling_iters": ("scaling_iters",),
     "adaptive_rho": ("adaptive_rho",),
+    "accel_lookback": ("accel_lookback",),
+    "acceleration_lookback": ("accel_lookback",),  # SCS-parity alias
     "solve_method": ("solve_method",),
     "ipm_mode": ("ipm_mode",),
     "kkt_mode": ("kkt_mode",),

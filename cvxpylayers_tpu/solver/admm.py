@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ..cones.dims import ConeDims
 from ..cones.projections import make_cone_projector
+from .batched_linalg import spd_inv_via_chol
 from .settings import (
     DUAL_INFEASIBLE,
     MAX_ITERS,
@@ -216,13 +217,96 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings):
             y_new = rho * (w - z_new)
             return (x_new, z_new, y_new, chol, rho), None
 
+        def run_epoch_plain(x_, z_, y_, chol, rho):
+            (x_, z_, y_, _, _), _ = jax.lax.scan(
+                inner, (x_, z_, y_, chol, rho), None, length=st.epoch
+            )
+            return x_, z_, y_
+
+        def run_epoch_aa(x_, z_, y_, chol, rho):
+            """Type-II Anderson acceleration on the pre-projection state
+            v = [x; w] (w = z + y/rho): (z, y) are always RE-DERIVED from
+            w by projection, so the y-in-K* invariant the residuals rely
+            on survives the mixing. History is epoch-local (rho changes
+            the fixed-point map at epoch boundaries) and restarts
+            whenever the residual norm grows — the standard safeguard
+            that keeps AA from diverging on the nonsmooth DR map
+            (reference analogue: SCS's acceleration_lookback knob,
+            cvxpylayers README.md:229-236 pass-through)."""
+            L = st.accel_lookback
+            d = n + m
+
+            def T(xv, wv):
+                zv = proj_C(wv, bs)
+                yv = rho * (wv - zv)
+                rhs = st.sigma * xv - qs + As.T @ (rho * zv - yv)
+                x_t = chol_solve(chol, rhs)
+                z_t = As @ x_t
+                x_n = st.alpha * x_t + (1 - st.alpha) * xv
+                w_n = st.alpha * z_t + (1 - st.alpha) * zv + yv / rho
+                return x_n, w_n
+
+            def step(carry, _):
+                xv, wv, S, Yb, v_prev, g_prev, gn_prev, k = carry
+                x_t, w_t = T(xv, wv)
+                v = jnp.concatenate([xv, wv])
+                vT = jnp.concatenate([x_t, w_t])
+                g = vT - v
+                gn = g @ g
+                grew = gn > gn_prev
+                # history restart on residual growth (safeguard)
+                S = jnp.where(grew, 0.0, S)
+                Yb = jnp.where(grew, 0.0, Yb)
+                # record the (v, g) differences of the last step
+                ptr = jnp.mod(k - 1, L)
+                has_hist = (k > 0) & ~grew
+                S = jnp.where(
+                    has_hist, S.at[ptr].set(v - v_prev), S
+                )
+                Yb = jnp.where(
+                    has_hist, Yb.at[ptr].set(g - g_prev), Yb
+                )
+                # gamma from the Tikhonov-regularized normal equations
+                # (zero history rows are inert: reg*gamma_i = 0).
+                # L is tiny (5-15): the masked-loop inverse stays
+                # custom-call-free inside the scan.
+                Gram = Yb @ Yb.T
+                reg = 1e-8 * (jnp.trace(Gram) / L) + 1e-30
+                Ginv = spd_inv_via_chol(
+                    Gram + reg * jnp.eye(L, dtype=dtype)
+                )
+                gamma = Ginv @ (Yb @ g)
+                # second safeguard: a huge mixing vector means the
+                # least-squares system is near-singular (history nearly
+                # linearly dependent) — the extrapolation is then
+                # unreliable; fall back to the plain step
+                wild = gamma @ gamma > 100.0
+                v_acc = vT - (S + Yb).T @ gamma
+                v_next = jnp.where(grew | wild, vT, v_acc)
+                gn_track = jnp.where(grew, jnp.asarray(jnp.inf, dtype),
+                                     gn.astype(dtype))
+                return (v_next[:n], v_next[n:], S, Yb, v, g,
+                        gn_track, k + 1), None
+
+            w0 = z_ + y_ / rho
+            S0 = jnp.zeros((L, d), dtype)
+            Y0 = jnp.zeros((L, d), dtype)
+            init = (x_, w0, S0, Y0, jnp.zeros(d, dtype),
+                    jnp.zeros(d, dtype), jnp.asarray(jnp.inf, dtype),
+                    jnp.asarray(0, jnp.int32))
+            (xe, we, *_), _ = jax.lax.scan(
+                step, init, None, length=st.epoch
+            )
+            ze = proj_C(we, bs)
+            ye = rho * (we - ze)
+            return xe, ze, ye
+
         def epoch_body(state):
             x_, z_, y_, rho, it, status, _rp, _rd = state
             chol = factor(Ps, As, rho)
             x_prev, y_prev = x_, y_
-            (x_, z_, y_, _, _), _ = jax.lax.scan(
-                inner, (x_, z_, y_, chol, rho), None, length=st.epoch
-            )
+            x_, z_, y_ = (run_epoch_aa if st.accel_lookback > 0
+                          else run_epoch_plain)(x_, z_, y_, chol, rho)
             it = it + st.epoch
 
             r_p, p_sc, r_d, d_sc = residuals(x_, z_, y_)

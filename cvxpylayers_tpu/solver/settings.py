@@ -33,6 +33,13 @@ class SolverSettings:
     adaptive_rho_clamp: float = 10.0  # max per-update change factor
     sigma: float = 1e-6
     alpha: float = 1.6
+    accel_lookback: int = 0      # Anderson acceleration history depth
+    # for the ADMM fixed-point map (0 = off). Type-II AA on the
+    # pre-projection state with residual-growth restarts; the SCS
+    # acceleration_lookback role (solver_args accepts either name).
+    # Typical useful range 5-15 on slowly-converging (LP/exp-cone)
+    # problems; the per-iteration overhead is ~L*d flops + an (L, L)
+    # masked-loop solve.
     scaling_iters: int = 10      # Ruiz equilibration iterations (0 = off)
     solve_method: str = "admm"   # "admm" (+polish), "ipm", or "pdhg"
     # (matvec-only first-order conic-LP solver + polish — the MPAX

@@ -1181,3 +1181,61 @@ class TestIpmEps:
 
         s = SolverSettings()
         assert s.ipm_eps_abs == 0.0  # default: track eps_abs
+
+
+class TestAndersonAcceleration:
+    """accel_lookback / acceleration_lookback (the SCS knob): type-II
+    Anderson acceleration of the ADMM fixed-point map, off by default.
+    Contract: same solutions, fewer iterations on iteration-hungry LPs
+    (measured: LAD mean iterations 230 -> 94 at L=3 on CPU f32).
+    NOT enabled in the TPU bench configs — under vmap the while_loop
+    runs to the slowest lane, and on TPU f32 the mixing hurt the
+    degenerate tail (measured solved 1.0 -> 0.98)."""
+
+    def _lad(self):
+        import cvxpylayers_tpu as ct
+
+        n_, m_ = 2, 3
+        x = ct.Variable(n_, nonneg=True)
+        A = ct.Parameter((m_, n_))
+        b = ct.Parameter(m_)
+        return ct.CvxpyLayer(
+            ct.Problem(ct.Minimize(0.5 * ct.pnorm(A @ x - b, 1))),
+            parameters=[A, b], variables=[x],
+        ), (n_, m_)
+
+    def test_same_solution_fewer_iterations(self):
+        layer, (n_, m_) = self._lad()
+        rng_ = np.random.default_rng(29)
+        B = 64
+        Av = jnp.asarray(rng_.standard_normal((B, m_, n_)))
+        bv = jnp.asarray(rng_.standard_normal((B, m_)))
+        base = {"eps_abs": 1e-6, "eps_rel": 1e-6, "admm_eps_abs": 1e-6,
+                "admm_eps_rel": 1e-6, "max_iters": 4000, "epoch": 50}
+        (x0,), st0, it0 = layer.solve_with_info(Av, bv, solver_args=base)
+        acc = dict(base, acceleration_lookback=3)
+        (x1,), st1, it1 = layer.solve_with_info(Av, bv, solver_args=acc)
+        assert np.asarray(st0).max() == 0 and np.asarray(st1).max() == 0
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                   atol=1e-5)
+        # acceleration must cut the aggregate iteration count
+        assert np.asarray(it1).mean() < 0.75 * np.asarray(it0).mean()
+
+    def test_alias_and_gradients(self):
+        layer, (n_, m_) = self._lad()
+        rng_ = np.random.default_rng(31)
+        Av = jnp.asarray(rng_.standard_normal((m_, n_)))
+        bv = jnp.asarray(rng_.standard_normal(m_))
+
+        def loss(sa):
+            def f(A_):
+                return jnp.sum(layer(A_, bv, solver_args=sa)[0] ** 2)
+            return f
+
+        g0 = jax.grad(loss({}))(Av)
+        g1 = jax.grad(loss({"accel_lookback": 3}))(Av)
+        g2 = jax.grad(loss({"acceleration_lookback": 3}))(Av)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   atol=0)
