@@ -83,9 +83,11 @@ def _qr_kernel(m_ref, r_ref, s_ref, *, mm: int, nn: int):
     r_ref[:] = s_ref[0:nn]
 
 
-def qr_r_pallas(M):
+def qr_r_pallas(M, interpret: bool = False):
     """R factors of a batch of (m, n) matrices, M: (B, m, n), f32,
-    B a multiple of 128 (callers pad). Returns (B, n, n) upper R."""
+    B a multiple of 128 (callers pad). Returns (B, n, n) upper R.
+    interpret=True runs the kernel through the Pallas interpreter
+    (CPU-testable)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -104,6 +106,7 @@ def qr_r_pallas(M):
                                lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((mm, nn, _LANES), M.dtype)],
+        interpret=interpret,
     )(Mt)
     R = jnp.transpose(out, (2, 0, 1))  # (B, n, n)
     return jnp.triu(R)

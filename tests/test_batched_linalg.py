@@ -140,3 +140,22 @@ class TestBlockedQr:
         assert R.shape == (27, 27)
         np.testing.assert_allclose(R.T @ R, M.T @ M,
                                    rtol=1e-9, atol=1e-9)
+
+
+class TestPallasQr:
+    """The unwired Pallas QR kernel (solver/pallas_linalg.py — measured
+    negative on v5e, kept as the third Pallas data point): interpret
+    mode keeps its logic executed on CPU."""
+
+    def test_interpret_matches_masked(self):
+        from cvxpylayers_tpu.solver.pallas_linalg import qr_r_pallas
+
+        B, m, n = 128, 21, 9
+        M = jnp.asarray(rng.standard_normal((B, m, n)), jnp.float32)
+        R = np.asarray(qr_r_pallas(M, interpret=True))
+        Rm = np.asarray(jax.vmap(house_qr_r)(M))
+        np.testing.assert_allclose(
+            np.einsum("bij,bik->bjk", R, R),
+            np.einsum("bij,bik->bjk", Rm, Rm),
+            rtol=2e-4, atol=2e-4,
+        )
