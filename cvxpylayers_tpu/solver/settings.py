@@ -37,9 +37,10 @@ class SolverSettings:
     # for the ADMM fixed-point map (0 = off). Type-II AA on the
     # pre-projection state with residual-growth restarts; the SCS
     # acceleration_lookback role (solver_args accepts either name).
-    # Typical useful range 5-15 on slowly-converging (LP/exp-cone)
+    # Typical useful range 3-10 on slowly-converging (LP/exp-cone)
     # problems; the per-iteration overhead is ~L*d flops + an (L, L)
-    # masked-loop solve.
+    # masked-loop solve. Dense-assembly route only (the matrix-free
+    # route ignores it).
     scaling_iters: int = 10      # Ruiz equilibration iterations (0 = off)
     solve_method: str = "admm"   # "admm" (+polish), "ipm", or "pdhg"
     # (matvec-only first-order conic-LP solver + polish — the MPAX
