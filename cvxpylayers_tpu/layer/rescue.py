@@ -1,0 +1,113 @@
+"""Two-phase fallback solve: fast route for the batch, accurate route
+for the (few) lanes the fast route failed, inside ONE jittable trace.
+
+Motivation (measured on v5e, Markowitz SOCP batch 512): ~3% of random
+risk-budget instances are doubly degenerate (SOC boundary active AND the
+optimum at a 2-3-asset vertex). ADMM+polish solves the other 97% at
+~10.5k fwd+bwd solves/s but stalls on the degenerate tail; routing the
+WHOLE batch through the HSDE-IPM + spectral polish (the only route that
+solves the tail) costs 4.8k. This module keeps the fast route for the
+batch and re-solves only a fixed-capacity top-K subset of failed lanes
+through the accurate route — solved 1.0 at far closer to the fast rate.
+
+Design constraints that shape the API:
+  * Everything must be traceable (jit/grad-compatible), so the rescue
+    subset has a STATIC size (`capacity`): `lax.top_k` on the failure
+    indicator picks the lanes, gathers their parameters, and scatters
+    the rescued solutions/statuses back with a validity mask. Failures
+    beyond `capacity` keep their fast-route status — the returned status
+    vector stays honest.
+  * Gradients flow through BOTH custom-vjp solves; the `where(mask, ..)`
+    combine routes each lane's cotangent to exactly the solve that
+    produced its output (the untaken branch's pullback receives zeros).
+  * No extra probe solve: the fast solve's own status vector drives the
+    routing, so the fast route runs exactly once.
+
+The reference stack has no counterpart — diffcp raises on the first
+failed instance of a batch (reference interfaces/diffcp_if.py:219-249)
+and solver selection is whole-problem static. This is the TPU-native
+answer to heterogeneous per-instance difficulty inside one batch, in the
+same spirit as dist/bucketing.py's capacity classes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..solver.settings import SOLVED
+
+
+def solve_with_rescue(layer, *params, rescue_args: dict,
+                      solver_args: Optional[dict] = None,
+                      capacity: int = 64,
+                      warm_start_rescue: bool = False):
+    """Solve a batch with `solver_args` (fast route), then re-solve up to
+    `capacity` failed lanes with `rescue_args` (accurate route).
+
+    Returns ``(outs, status, iters)`` exactly like
+    ``CvxpyLayer.solve_with_info`` — statuses are data; rescued lanes
+    carry the rescue solve's status, lanes beyond capacity keep the fast
+    route's failure status. jit/vmap(outer)/grad-compatible end to end.
+
+    ``capacity`` is a static trade: the rescue solve always runs on a
+    ``capacity``-sized gathered sub-batch (idle lanes re-solve an
+    already-solved instance and are masked out of the combine), so pick
+    it at a safe multiple of the expected failure count.
+
+    ``warm_start_rescue=True`` hands the fast route's (x, y, s) to the
+    rescue solve as a traced WarmStart — useful when the fast route
+    merely ran out of iterations; counterproductive when it converged to
+    the wrong active set (the default keeps the rescue solve cold).
+    """
+    batch, flags = layer._parse_batch(params)
+    if batch is None:
+        raise ValueError(
+            "solve_with_rescue needs a batched call (the rescue subset "
+            "is gathered along the batch axis)"
+        )
+    if not any(flags):
+        raise ValueError(
+            "solve_with_rescue needs at least one batched parameter"
+        )
+    cap = int(min(capacity, batch))
+    if cap <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+
+    outs, ws, status, iters = layer.solve_and_state(
+        *params, solver_args=solver_args
+    )
+
+    bad = status != SOLVED
+    # top_k on the indicator: failed lanes first (ties index-ordered),
+    # solved lanes pad the remainder and are masked out below
+    _, idx = jax.lax.top_k(bad.astype(jnp.float32), cap)
+    mask = bad[idx]
+
+    sub_params = tuple(
+        p[idx] if f else p for p, f in zip(params, flags)
+    )
+    r_ws = None
+    if warm_start_rescue:
+        from .cvxpylayer import WarmStart
+
+        r_ws = WarmStart(x=ws.x[idx], y=ws.y[idx], s=ws.s[idx])
+    r_outs, r_status, r_iters = (
+        layer.solve_with_info(*sub_params, solver_args=rescue_args,
+                              warm_start=r_ws)
+        if r_ws is not None
+        else layer.solve_with_info(*sub_params, solver_args=rescue_args)
+    )
+
+    def _combine(o, ro):
+        m = mask.reshape((cap,) + (1,) * (ro.ndim - 1))
+        return o.at[idx].set(jnp.where(m, ro, o[idx]))
+
+    outs_f = tuple(_combine(o, ro) for o, ro in zip(outs, r_outs))
+    status_f = status.at[idx].set(jnp.where(mask, r_status, status[idx]))
+    iters_f = iters.at[idx].set(
+        jnp.where(mask, iters[idx] + r_iters, iters[idx])
+    )
+    return outs_f, status_f, iters_f
