@@ -1,33 +1,69 @@
 """Benchmark: fwd+bwd solves/sec/chip across the BASELINE.json configs.
 
-Headline metric (the ONE JSON line's "value"): batch-1024 box-QP
-projection layer (OptNet-style, config 2 shape class). The JSON also
-carries per-config numbers for the full matrix:
+Headline metric (the JSON line's "value"): batch-1024 box-QP projection
+layer (OptNet-style, config 2 shape class). The JSON also carries
+per-config numbers for the full matrix:
 
-  1. lad            — README LAD (n=2, m=3), batched + single-instance
-  2. box_qp         — OptNet box QP n=50, batch 1024 (headline)
+  1. box_qp         — OptNet box QP n=50, batch 1024 (HEADLINE; runs
+                      first so a partial run still records it)
+  2. lad            — README LAD (n=2, m=3), batched + single-instance
   3. markowitz_socp — SOCP portfolio w/ risk-budget ||F w|| <= s,
-                      batch 512 (second-order cones)
+                      batch 512, via solve_with_rescue (fast ADMM for
+                      the batch + HSDE-IPM rescue for the degenerate
+                      ~3% tail)
   4. softmax_duals  — exp-cone entropy layer returning the equality
                       dual too (primal+dual path, config 4 class)
-  5. gp             — the reference 3-var GP (gp=True log-space path),
-                      batch 1024
+  5. gp             — the reference 3-var GP (gp=True log-space path)
+  6. box_qp_ipm     — the IPM on the headline class (second algorithm)
+  7. markowitz_large_n500 — sparse/large-instance scale axis
+  8. ot_lp_pdhg / ot_lp_admm — 4096-variable optimal-transport LP
+     through the matrix-free route: PDHG (matvec-only, the MPAX-raPDHG
+     role) vs operator-ADMM at identical eps
+
+Robustness contract (round-3 postmortem: one hang erased the round's
+number of record): the headline config runs FIRST, a cumulative
+headline-format JSON summary line is re-emitted after EVERY config (so
+a kill at any instant leaves the newest parseable summary as the last
+JSON line), every config and the CPU-baseline subprocess runs under its
+own wall-clock watchdog, and a global budget skips the tail instead of
+overrunning. Per-config throughputs are the MEDIAN of >= 5 timed
+windows with the min/max spread published ("spread") — dispatch-bound
+configs (lad) swing +-30-40% run to run and a single window is
+meaningless across rounds.
 
 vs_baseline: measured, not assumed. A subprocess forces the CPU backend
 and times the reference *architecture* — a per-instance solve loop
 (diffcp's solve_and_derivative_batch is a per-instance C++ loop over a
 threadpool, reference interfaces/diffcp_if.py:219-249) — on this host,
 then scales by the core count as a perfect-threadpool upper bound.
-That denominator FAVORS the baseline; the ratio is a lower bound.
+That denominator FAVORS the baseline; the ratio is a lower bound. If
+the live CPU run times out, the last measured value for this host
+(BENCH_r02.json) is used and marked as a fallback.
 """
 
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
+
+HEADLINE = "box_qp"
+CONFIG_TIMEOUT_S = 300.0
+CPU_BASELINE_TIMEOUT_S = 180.0
+GLOBAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+
+# last live-measured CPU denominator on this host (r4 session,
+# `python bench.py --cpu-baseline`); used only when the in-run
+# measurement times out or errors
+_FALLBACK_CPU = {
+    "solves_per_s_per_core": 380.65,
+    "cores": os.cpu_count() or 4,
+    "modeled_threadpool_solves_per_s": 380.65 * (os.cpu_count() or 4),
+    "source": "fallback: r4-measured on this host; live run unavailable",
+}
 
 
 def _tuned_args(extra=None):
@@ -45,14 +81,45 @@ def _tuned_args(extra=None):
 
 
 def _build_layers(ct):
-    """name -> (layer, params dict builder, solver_args, batch)."""
+    """name -> (layer, params tuple, solver_args, batch, extra).
+
+    Ordered dict; the HEADLINE config must come first so a partial run
+    still records the number of record."""
     rng = np.random.default_rng(0)
     import jax.numpy as jnp
 
     dtype = jnp.float32
     cfgs = {}
 
-    # ---- 1. LAD: min 0.5||Ax - b||_1 s.t. x >= 0 (README flagship)
+    # ---- 1. box QP (HEADLINE — first on purpose)
+    n, m_ineq = 50, 20
+    x = ct.Variable(n)
+    v = ct.Parameter(n)
+    G = ct.Parameter((m_ineq, n))
+    h = ct.Parameter(m_ineq)
+    qp = ct.CvxpyLayer(
+        ct.Problem(ct.Minimize(ct.sum_squares(x - v)),
+                   [G @ x <= h, x >= 0, x <= 1]),
+        parameters=[v, G, h], variables=[x],
+    )
+    B = 1024
+    qp_params = (
+        jnp.asarray(rng.standard_normal((B, n)), dtype),
+        jnp.asarray(rng.standard_normal((B, m_ineq, n)) * 0.3, dtype),
+        jnp.asarray(np.abs(rng.standard_normal((B, m_ineq))) + 1.0, dtype),
+    )
+    # schur_iters=5 + refine_steps=5: with the diagonal-P elementwise
+    # KKT split (r2) each polish step is matvec-only, and five exact
+    # 5-iteration Schur solves land every instance at eps 1e-4
+    # (solved 1.0, measured 31.8k fwd+bwd solves/s on v5e; the prior
+    # 8-iteration/4-step tuning measured 29.2k). The auto default
+    # leaves margin for unknown problems.
+    cfgs["box_qp"] = (
+        qp, qp_params,
+        _tuned_args({"schur_iters": 5, "refine_steps": 5}), B, {},
+    )
+
+    # ---- 2. LAD: min 0.5||Ax - b||_1 s.t. x >= 0 (README flagship)
     n, m = 2, 3
     x = ct.Variable(n, nonneg=True)
     A = ct.Parameter((m, n))
@@ -81,35 +148,7 @@ def _build_layers(ct):
         lad, lad_params,
         _tuned_args({"max_iters": 600, "epoch": 100,
                      "admm_eps_abs": 1e-4, "admm_eps_rel": 1e-4,
-                     "matmul_precision": "highest"}), B,
-    )
-
-    # ---- 2. box QP (headline)
-    n, m_ineq = 50, 20
-    x = ct.Variable(n)
-    v = ct.Parameter(n)
-    G = ct.Parameter((m_ineq, n))
-    h = ct.Parameter(m_ineq)
-    qp = ct.CvxpyLayer(
-        ct.Problem(ct.Minimize(ct.sum_squares(x - v)),
-                   [G @ x <= h, x >= 0, x <= 1]),
-        parameters=[v, G, h], variables=[x],
-    )
-    B = 1024
-    qp_params = (
-        jnp.asarray(rng.standard_normal((B, n)), dtype),
-        jnp.asarray(rng.standard_normal((B, m_ineq, n)) * 0.3, dtype),
-        jnp.asarray(np.abs(rng.standard_normal((B, m_ineq))) + 1.0, dtype),
-    )
-    # schur_iters=5 + refine_steps=5: with the diagonal-P elementwise
-    # KKT split (r2) each polish step is matvec-only, and five exact
-    # 5-iteration Schur solves land every instance at eps 1e-4
-    # (solved 1.0, measured 31.8k fwd+bwd solves/s on v5e; the prior
-    # 8-iteration/4-step tuning measured 29.2k). The auto default
-    # leaves margin for unknown problems.
-    cfgs["box_qp"] = (
-        qp, qp_params,
-        _tuned_args({"schur_iters": 5, "refine_steps": 5}), B,
+                     "matmul_precision": "highest"}), B, {},
     )
 
     # ---- 3. Markowitz SOCP with risk budget (second-order cone)
@@ -127,22 +166,32 @@ def _build_layers(ct):
         jnp.asarray(rng.standard_normal((B, n)) * 0.1, dtype),
         jnp.asarray(rng.standard_normal((B, k, n)) / np.sqrt(n), dtype),
     )
-    # HSDE-IPM + spectral-Schur polish (not ADMM): ~3% of random
-    # risk-budget instances are doubly degenerate (SOC boundary active
-    # AND the optimum at a 2-3-asset vertex) — ADMM stalls at ~1e-3 on
-    # them (median iters = max) and the CG-direction polish freezes at
-    # Gauss-Newton stationary points, even in f64. The HSDE IPM plus
-    # EXACT spectral-Schur Newton directions solves 512/512 at eps 1e-4
-    # (measured; plain ipm leaves 1, admm leaves 16).
+    # Two-phase rescue (r4, VERDICT r3 #2): ~3% of random risk-budget
+    # instances are doubly degenerate (SOC boundary active AND the
+    # optimum at a 2-3-asset vertex) — ADMM stalls at ~1e-3 on them and
+    # the polish freezes at Gauss-Newton stationary points, while the
+    # HSDE-IPM + spectral polish solves them but costs ~2x on the whole
+    # batch (r3: 4.77k @ 1.0 all-IPM vs r2: 10.5k @ 0.959 all-ADMM).
+    # solve_with_rescue runs fast ADMM on the batch and re-solves the
+    # failed lanes (capacity 48 >> the ~16 observed) through the IPM
+    # route — solved 1.0 at far closer to the ADMM rate.
     # ipm_eps 1e-5 (internal target = final eps / 10): an IPM that quits
     # exactly at eps hands the polish a basin-edge point on the doubly
     # degenerate instances; matmul_precision highest keeps TPU f32 in
-    # the same basins as CPU f32 (solved 0.988 -> 1.0 measured).
+    # the same basins as CPU f32.
+    # fast route = the r2 all-ADMM config (10.5k solves/s @ 0.959 on
+    # v5e): ADMM needs ~500 iterations for SOC active-set
+    # identification on this class — 50 starves it (measured solved
+    # 0.52). The ~4% failures (< capacity 48) go to the IPM.
+    fast_args = _tuned_args({"max_iters": 500, "epoch": 100,
+                             "refine_steps": 10})
+    rescue_args = _tuned_args({"solve_method": "ipm",
+                               "kkt_mode": "spectral",
+                               "refine_steps": 15, "ipm_eps": 1e-5,
+                               "matmul_precision": "highest"})
     cfgs["markowitz_socp"] = (
-        soc, soc_params,
-        _tuned_args({"solve_method": "ipm", "kkt_mode": "spectral",
-                     "refine_steps": 15, "ipm_eps": 1e-5,
-                     "matmul_precision": "highest"}), B,
+        soc, soc_params, fast_args, B,
+        {"rescue": {"args": rescue_args, "capacity": 48}},
     )
 
     # ---- 4. exp-cone softmax layer with equality dual output
@@ -168,57 +217,7 @@ def _build_layers(ct):
     cfgs["softmax_duals"] = (
         sm, sm_params,
         _tuned_args({"max_iters": 700, "epoch": 100,
-                     "refine_steps": 20}), B,
-    )
-
-    # ---- 3b. Markowitz n=500 through the sparse/matrix-free route
-    # (VERDICT r2 'done' criterion: large instances construct in
-    # seconds, solve+diff correctly, and appear here). m*n ~ 266k puts
-    # this far beyond the dense route; the sparse route is O(nnz).
-    n_lg, k_lg = 500, 30
-    w_lg = ct.Variable(n_lg, nonneg=True)
-    mu_lg = ct.Parameter(n_lg)
-    F_lg = ct.Parameter((k_lg, n_lg))
-    soc_lg = ct.CvxpyLayer(
-        ct.Problem(ct.Maximize(mu_lg @ w_lg),
-                   [ct.norm(F_lg @ w_lg, 2) <= 0.25,
-                    ct.sum(w_lg) == 1]),
-        parameters=[mu_lg, F_lg], variables=[w_lg],
-    )
-    B = 128
-    soc_lg_params = (
-        jnp.asarray(rng.standard_normal((B, n_lg)) * 0.1, dtype),
-        jnp.asarray(rng.standard_normal((B, k_lg, n_lg))
-                    / np.sqrt(n_lg), dtype),
-    )
-    # dense-assembly HSDE-IPM, not the sparse ADMM route: at this size
-    # the batched dense route is still 8x faster end-to-end (1.6s vs
-    # 15s per 128-batch on v5e) because the degenerate-vertex SOCP
-    # pathology (see markowitz_socp) forces first-order methods to
-    # ~3000 iterations while the IPM needs 12 — and the sparse route is
-    # ADMM-only. matmul_precision highest is what lets the f32 IPM
-    # converge at all here (without it the central path stalls at the
-    # bf16 data floor and every instance runs to the iteration cap);
-    # spectral polish + ipm_eps finish the degenerate tail.
-    cfgs["markowitz_large_n500"] = (
-        soc_lg, soc_lg_params,
-        _tuned_args({"assembly": "dense", "solve_method": "ipm",
-                     "kkt_mode": "spectral", "refine_steps": 15,
-                     "ipm_eps": 3e-6, "matmul_precision": "highest"}), B,
-    )
-
-    # ---- 2b. IPM on the box-QP class (the second algorithm's TPU
-    # number — VERDICT r2 #8; symmetric cones, 5-15 IPM iterations)
-    B = 512
-    qp_ipm_params = (
-        jnp.asarray(rng.standard_normal((B, 50)), dtype),
-        jnp.asarray(rng.standard_normal((B, 20, 50)) * 0.3, dtype),
-        jnp.asarray(np.abs(rng.standard_normal((B, 20))) + 1.0, dtype),
-    )
-    cfgs["box_qp_ipm"] = (
-        qp, qp_ipm_params,
-        _tuned_args({"solve_method": "ipm", "refine_steps": 5,
-                     "schur_iters": 5}), B,
+                     "refine_steps": 20}), B, {},
     )
 
     # ---- 5. GP path (reference tests/test_torch.py:429-458 problem)
@@ -245,36 +244,190 @@ def _build_layers(ct):
     # at solved=1.0 on v5e)
     cfgs["gp"] = (
         gp, gp_params,
-        _tuned_args({"max_iters": 300, "epoch": 100, "cg_iters": 15}), B,
+        _tuned_args({"max_iters": 300, "epoch": 100, "cg_iters": 15}),
+        B, {},
     )
+
+    # ---- 6. IPM on the box-QP class (the second algorithm's TPU
+    # number — symmetric cones, 5-15 IPM iterations)
+    B = 512
+    qp_ipm_params = (
+        jnp.asarray(rng.standard_normal((B, 50)), dtype),
+        jnp.asarray(rng.standard_normal((B, 20, 50)) * 0.3, dtype),
+        jnp.asarray(np.abs(rng.standard_normal((B, 20))) + 1.0, dtype),
+    )
+    cfgs["box_qp_ipm"] = (
+        qp, qp_ipm_params,
+        _tuned_args({"solve_method": "ipm", "refine_steps": 5,
+                     "schur_iters": 5}), B, {},
+    )
+
+    # ---- 7. Markowitz n=500 through the dense-IPM large route
+    n_lg, k_lg = 500, 30
+    w_lg = ct.Variable(n_lg, nonneg=True)
+    mu_lg = ct.Parameter(n_lg)
+    F_lg = ct.Parameter((k_lg, n_lg))
+    soc_lg = ct.CvxpyLayer(
+        ct.Problem(ct.Maximize(mu_lg @ w_lg),
+                   [ct.norm(F_lg @ w_lg, 2) <= 0.25,
+                    ct.sum(w_lg) == 1]),
+        parameters=[mu_lg, F_lg], variables=[w_lg],
+    )
+    B = 128
+    soc_lg_params = (
+        jnp.asarray(rng.standard_normal((B, n_lg)) * 0.1, dtype),
+        jnp.asarray(rng.standard_normal((B, k_lg, n_lg))
+                    / np.sqrt(n_lg), dtype),
+    )
+    # dense-assembly HSDE-IPM, not the sparse ADMM route: at this size
+    # the batched dense route is still 8x faster end-to-end (1.6s vs
+    # 15s per 128-batch on v5e) because the degenerate-vertex SOCP
+    # pathology (see markowitz_socp) forces first-order methods to
+    # ~3000 iterations while the IPM needs 12 — and the sparse route is
+    # first-order-only. matmul_precision highest is what lets the f32
+    # IPM converge at all here (without it the central path stalls at
+    # the bf16 data floor and every instance runs to the iteration
+    # cap); spectral polish + ipm_eps finish the degenerate tail.
+    cfgs["markowitz_large_n500"] = (
+        soc_lg, soc_lg_params,
+        _tuned_args({"assembly": "dense", "solve_method": "ipm",
+                     "kkt_mode": "spectral", "refine_steps": 15,
+                     "ipm_eps": 3e-6, "matmul_precision": "highest"}),
+        # the n=500 IPM graph's COLD COMPILE alone exceeds 300 s on
+        # this backend (measured r4); the solve itself is ~5 s/batch
+        B, {"timeout": 600.0},
+    )
+
+    # ---- 8. optimal-transport LP through the matrix-free route:
+    # PDHG vs operator-ADMM at identical eps (VERDICT r3 #5 — give the
+    # third algorithm its natural config or record the negative).
+    # 64x64 plan = 4096 variables, 128 equality rows + 4096 nonneg
+    # rows, nnz(A) = 12288; m*n ~ 17M keeps this far beyond the dense
+    # route. eps 1e-3 (large-LP convention — both rows identical).
+    n_s = n_d = 64
+    C_ot = ct.Parameter((n_s, n_d))
+    P_ot = ct.Variable((n_s, n_d), nonneg=True)
+    marg_a = np.full(n_s, 1.0 / n_s)
+    marg_b = np.full(n_d, 1.0 / n_d)
+    ot_prob = ct.Problem(
+        ct.Minimize(ct.sum(ct.multiply(C_ot, P_ot))),
+        [P_ot @ ct.Constant(np.ones(n_d)) == ct.Constant(marg_a),
+         P_ot.T @ ct.Constant(np.ones(n_s)) == ct.Constant(marg_b)],
+    )
+    ot = ct.CvxpyLayer(ot_prob, parameters=[C_ot], variables=[P_ot])
+    B = 8
+    xs_src = rng.standard_normal((B, n_s))
+    ys_dst = rng.standard_normal((B, n_d))
+    ot_params = (
+        jnp.asarray((xs_src[:, :, None] - ys_dst[:, None, :]) ** 2,
+                    dtype),
+    )
+    ot_common = {"assembly": "sparse", "eps_abs": 1e-3, "eps_rel": 1e-3,
+                 "admm_eps_abs": 1e-3, "admm_eps_rel": 1e-3,
+                 "max_iters": 20000, "epoch": 500, "refine_steps": 10}
+    cfgs["ot_lp_pdhg"] = (
+        ot, ot_params, dict(ot_common, solve_method="pdhg"), B, {},
+    )
+    cfgs["ot_lp_admm"] = (ot, ot_params, dict(ot_common), B, {})
+
     return cfgs
 
 
-def _measure(layer, params, sargs, B, iters=5, check_solved=False):
+def _measure(layer, params, sargs, B, extra=None, windows=5,
+             target_window_s=0.25, check_solved=True):
+    """Median-of-windows fwd+bwd throughput + solved fraction.
+
+    Returns {"median", "min", "max", "solved"}. The first post-compile
+    call calibrates the per-window iteration count so every config
+    spends ~target_window_s per window regardless of its cost."""
     import jax
     import jax.numpy as jnp
     import numpy as _np
 
+    rescue = (extra or {}).get("rescue")
+    if rescue:
+        from cvxpylayers_tpu import solve_with_rescue
+
+        def fwd(*ps):
+            outs, st, _ = solve_with_rescue(
+                layer, *ps, solver_args=sargs,
+                rescue_args=rescue["args"],
+                capacity=rescue["capacity"],
+            )
+            return outs, st
+    else:
+        def fwd(*ps):
+            outs, st, _ = layer.solve_with_info(*ps, solver_args=sargs)
+            return outs, st
+
     def loss(*ps):
-        outs = layer(*ps, solver_args=sargs)
+        outs, _ = fwd(*ps)
         return sum(jnp.sum(o ** 2) for o in outs)
 
     step = jax.jit(jax.grad(loss, argnums=tuple(range(len(params)))))
-    g = step(*params)
-    jax.block_until_ready(g)
+    # VARY inputs call-to-call: this backend caches results of repeated
+    # identical dispatches (CLAUDE.md microbench trap — observed 300x
+    # inflation on the gp config with a same-input timing loop), so the
+    # loop cycles through slightly-perturbed on-device variants.
+    # Multiplicative 1e-4 perturbations keep sign constraints (gp
+    # positivity) intact and change no instance's difficulty class.
+    variants = [
+        tuple(p * (1.0 + d) for p in params)
+        for d in (0.0, 1e-4, -1e-4)
+    ]
+    for v in variants:
+        jax.block_until_ready(v)
+    g = step(*variants[0])
+    jax.block_until_ready(g)  # compile + first run
     t0 = time.perf_counter()
-    for _ in range(iters):
-        g = step(*params)
+    g = step(*variants[1])
     jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / iters
-    thr = B / dt
-    if not check_solved:
-        return thr
-    # transparency: fraction of instances whose post-polish status is
-    # SOLVED at the config's eps (one extra solve per config)
-    _, st, _ = layer.solve_with_info(*params, solver_args=sargs)
-    frac = float((_np.asarray(st) == 0).mean())
-    return thr, frac
+    dt1 = time.perf_counter() - t0
+    iters = max(1, min(20, int(round(target_window_s / max(dt1, 1e-4)))))
+    thrs = []
+    k = 0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            g = step(*variants[k % len(variants)])
+            k += 1
+        jax.block_until_ready(g)
+        thrs.append(B * iters / (time.perf_counter() - t0))
+    thrs.sort()
+    out = {
+        "median": round(thrs[len(thrs) // 2], 2),
+        "min": round(thrs[0], 2),
+        "max": round(thrs[-1], 2),
+    }
+    if check_solved:
+        # transparency: fraction of instances whose post-solve status is
+        # SOLVED at the config's eps (one extra solve; the layer's
+        # internal cores are jit-cached so this is one dispatch)
+        _, st = fwd(*params)
+        out["solved"] = round(float((_np.asarray(st) == 0).mean()), 4)
+    return out
+
+
+def _with_timeout(fn, timeout, label):
+    """Run fn() on a daemon worker thread with a wall-clock watchdog.
+    Returns (value, error); a hung device call cannot take the whole
+    bench down — the main thread keeps emitting summaries."""
+    box = {}
+
+    def run():
+        try:
+            box["v"] = fn()
+        except BaseException as e:  # noqa: BLE001 — recorded, not raised
+            box["e"] = e
+
+    t = threading.Thread(target=run, daemon=True, name=f"bench-{label}")
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        return None, TimeoutError(f"{label}: exceeded {timeout:.0f}s")
+    if "e" in box:
+        return None, box["e"]
+    return box.get("v"), None
 
 
 def _kkt_microbench(ct, B=1024, n=50, m=121):
@@ -317,7 +470,11 @@ def cpu_baseline():
     per-instance CPU solver of the diffcp+SCS architecture (reference
     interfaces/diffcp_if.py:219-249 loops instances over a threadpool).
     Scaled by core count as a perfect-threadpool upper bound; ms/solve
-    is published so readers can compare against known SCS timings."""
+    is published so readers can compare against known SCS timings.
+
+    Also measures the n=500 Markowitz-class denominator (VERDICT r3
+    #4): a per-instance scipy dense-KKT IPM at the same eps, the honest
+    CPU stand-in for the large-instance route."""
     import scipy.linalg as sla
 
     rng = np.random.default_rng(0)
@@ -426,6 +583,8 @@ def cpu_baseline():
         best = max(best, len(inst) / dt)
     per_core = best
     cores = os.cpu_count() or 1
+
+    n500 = _cpu_baseline_n500(rng)
     print(json.dumps({
         "solves_per_s_per_core": round(per_core, 2),
         "ms_per_solve": round(1000.0 / per_core, 3),
@@ -433,81 +592,210 @@ def cpu_baseline():
         "modeled_threadpool_solves_per_s": round(per_core * cores, 2),
         "architecture": "pure-numpy f64 per-instance ADMM + Newton "
                         "polish + adjoint (no JAX dispatch)",
+        "n500": n500,
     }))
+
+
+def _cpu_baseline_n500(rng, n=500, k=30, n_inst=4):
+    """Per-instance CPU denominator for the markowitz_large_n500 class:
+    a dense-KKT primal-dual IPM in scipy f64 (the per-instance
+    Clarabel/ECOS architecture, reference diffcp_if.py:46-70 handing
+    scipy matrices to a native per-instance IPM), forward solve +
+    adjoint. Modeled-threadpool scaling mirrors the n=50 baseline."""
+    import scipy.linalg as sla
+
+    def make_instance():
+        mu = rng.standard_normal(n) * 0.1
+        F = rng.standard_normal((k, n)) / np.sqrt(n)
+        return mu, F
+
+    def solve_one(mu, F):
+        # min -mu'w s.t. sum w = 1, w >= 0, ||F w|| <= 0.25
+        # log-barrier IPM on the inequality part, eliminating the
+        # equality by a null-space basis is overkill — use a simple
+        # primal-dual on the nonneg block with the SOC as a smooth
+        # constraint phi = 0.5(0.0625 - ||Fw||^2) >= 0 barrier term.
+        w = np.full(n, 1.0 / n)
+        t = 1.0
+        for _ in range(40):
+            Fw = F @ w
+            soc_gap = 0.0625 - Fw @ Fw
+            soc_gap = max(soc_gap, 1e-10)
+            # gradient/hessian of -mu'w + (1/t)(-sum log w - log soc_gap)
+            g = -mu - (1.0 / t) / w + (2.0 / t) * (F.T @ Fw) / soc_gap
+            H_diag = (1.0 / t) / w ** 2
+            FT = F.T @ F
+            H = np.diag(H_diag) + (2.0 / t) * FT / soc_gap \
+                + (4.0 / t) * np.outer(F.T @ Fw, F.T @ Fw) / soc_gap ** 2
+            # KKT with the equality sum w = 1
+            K = np.zeros((n + 1, n + 1))
+            K[:n, :n] = H
+            K[:n, n] = 1.0
+            K[n, :n] = 1.0
+            rhs = np.concatenate([-g, [0.0]])
+            try:
+                import warnings
+
+                with warnings.catch_warnings():
+                    # the final barrier KKT systems are legitimately
+                    # ill-conditioned (t -> 1e8); the solve is still
+                    # the denominator's work, not an error
+                    warnings.simplefilter("ignore")
+                    d = sla.solve(K, rhs, assume_a="sym")
+            except Exception:
+                break
+            dw = d[:n]
+            # fraction-to-boundary step
+            neg = dw < 0
+            amax = 1.0
+            if neg.any():
+                amax = min(1.0, 0.99 * np.min(-w[neg] / dw[neg]))
+            w = w + amax * dw
+            w = np.maximum(w, 1e-12)
+            t = min(t * 1.6, 1e8)
+        # adjoint stand-in: one extra KKT solve (the backward pass cost)
+        try:
+            sla.solve(K, rhs, assume_a="sym")
+        except Exception:
+            pass
+        return w
+
+    inst = [make_instance() for _ in range(n_inst)]
+    w0 = solve_one(*inst[0])
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for data in inst:
+            solve_one(*data)
+        best = max(best, len(inst) / (time.perf_counter() - t0))
+    cores = os.cpu_count() or 1
+    return {
+        "solves_per_s_per_core": round(best, 3),
+        "modeled_threadpool_solves_per_s": round(best * cores, 2),
+        "feasible_spot_check": bool(
+            abs(w0.sum() - 1.0) < 1e-6 and w0.min() >= 0
+        ),
+        "architecture": "per-instance scipy f64 dense-KKT barrier IPM "
+                        "+ adjoint solve (40 Newton steps)",
+    }
 
 
 def main():
-    import jax
+    t_start = time.perf_counter()
+    import jax  # noqa: F401 — fail fast if the backend is broken
 
     import cvxpylayers_tpu as ct
 
-    cfgs = _build_layers(ct)
     results = {}
     solved = {}
-    for name, (layer, params, sargs, B) in cfgs.items():
-        try:
-            thr, frac = _measure(layer, params, sargs, B,
-                                 check_solved=True)
-            results[name] = round(thr, 2)
-            solved[name] = round(frac, 4)
-        except Exception as e:  # keep the bench alive per-config
-            results[name] = f"error: {type(e).__name__}: {e}"[:200]
-        print(f"# {name}: {results[name]} (solved {solved.get(name)})",
-              file=sys.stderr, flush=True)
+    spread = {}
+    cpu = dict(_FALLBACK_CPU)
 
-    # KKT solve time per instance (BASELINE primary metric companion):
-    # one exact-Schur Newton-direction solve on the headline QP shapes,
-    # batched 1024, measured on-chip
-    try:
-        results["kkt_solve_us_per_instance"] = round(
-            _kkt_microbench(ct), 3
+    def emit(complete=False):
+        """Cumulative headline-format summary — re-emitted after every
+        config so the newest parseable JSON line always reflects
+        everything measured so far."""
+        headline = results.get(HEADLINE)
+        ok = isinstance(headline, (int, float))
+        denom = cpu.get("modeled_threadpool_solves_per_s") or 1.0
+        per_core = cpu.get("solves_per_s_per_core")
+        print(json.dumps({
+            "metric": "fwd+bwd solves/sec/chip (batch-1024 box-QP n=50)",
+            "value": headline if ok else 0.0,
+            "unit": "solves/s",
+            # chip vs a PERFECT multi-core threadpool of pure-numpy f64
+            # per-instance solves on this host (the reference diffcp
+            # architecture, favoring the baseline; per-core ratio and
+            # ms/solve are in cpu_baseline for independent comparison)
+            "vs_baseline": round(headline / denom if ok else 0.0, 3),
+            "vs_baseline_per_core": round(
+                headline / per_core if ok and per_core else 0.0, 3
+            ),
+            "configs": results,
+            "solved_fraction": solved,
+            "spread": spread,
+            "complete": complete,
+            "elapsed_s": round(time.perf_counter() - t_start, 1),
+            "cpu_baseline": cpu,
+        }), flush=True)
+
+    print("# bench: building layers", file=sys.stderr, flush=True)
+    cfgs, err = _with_timeout(lambda: _build_layers(ct),
+                              CONFIG_TIMEOUT_S, "build_layers")
+    if cfgs is None:
+        results[HEADLINE] = f"error building layers: {err}"[:200]
+        emit(complete=True)
+        return
+
+    for name, (layer, params, sargs, B, extra) in cfgs.items():
+        remaining = GLOBAL_BUDGET_S - (time.perf_counter() - t_start)
+        if remaining < 30:
+            results[name] = "skipped: bench budget exhausted"
+            print(f"# {name}: skipped (budget)", file=sys.stderr,
+                  flush=True)
+            continue
+        timeout = min(extra.get("timeout", CONFIG_TIMEOUT_S), remaining)
+        val, err = _with_timeout(
+            lambda l=layer, p=params, s=sargs, b=B, e=extra: _measure(
+                l, p, s, b, extra=e
+            ),
+            timeout, name,
         )
-    except Exception as e:
-        results["kkt_solve_us_per_instance"] = f"error: {e}"[:120]
+        if err is not None:
+            results[name] = f"error: {type(err).__name__}: {err}"[:200]
+        else:
+            results[name] = val["median"]
+            solved[name] = val.get("solved")
+            spread[name] = [val["min"], val["max"]]
+        print(f"# {name}: {results[name]} (solved {solved.get(name)}, "
+              f"spread {spread.get(name)})", file=sys.stderr, flush=True)
+        emit()
 
-    # single-instance LAD latency (config 1's literal form)
-    lad, lad_params, sargs, _ = cfgs["lad"]
-    single = tuple(p[0] for p in lad_params)
-    results["lad_single_latency_ms"] = round(
-        1000.0 / _measure(lad, single, sargs, 1, iters=20), 3
+    # KKT solve time per instance (BASELINE primary metric companion)
+    val, err = _with_timeout(lambda: _kkt_microbench(ct),
+                             CONFIG_TIMEOUT_S, "kkt_microbench")
+    results["kkt_solve_us_per_instance"] = (
+        round(val, 3) if err is None else f"error: {err}"[:120]
     )
 
+    # single-instance LAD latency (config 1's literal form)
+    def _lad_latency():
+        lad, lad_params, sargs, _B, _e = cfgs["lad"]
+        single = tuple(p[0] for p in lad_params)
+        r = _measure(lad, single, sargs, 1, windows=3,
+                     check_solved=False)
+        return round(1000.0 / r["median"], 3)
+
+    val, err = _with_timeout(_lad_latency, CONFIG_TIMEOUT_S,
+                             "lad_latency")
+    results["lad_single_latency_ms"] = (
+        val if err is None else f"error: {err}"[:120]
+    )
+    emit()
+
     # measured CPU denominator (reference per-instance-loop architecture)
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    repo = os.path.dirname(os.path.abspath(__file__))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    try:
+    def _cpu_run():
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
-            capture_output=True, text=True, timeout=900, env=env,
+            capture_output=True, text=True,
+            timeout=CPU_BASELINE_TIMEOUT_S, env=env,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        cpu = json.loads(line)
-        denom = cpu["modeled_threadpool_solves_per_s"]
-    except Exception as e:
-        cpu = {"error": str(e)[:200]}
-        denom = 1000.0  # documented fallback estimate
+        return json.loads(line)
 
-    headline = results["box_qp"]
-    ok = isinstance(headline, float)
-    print(json.dumps({
-        "metric": "fwd+bwd solves/sec/chip (batch-1024 box-QP n=50)",
-        "value": headline,
-        "unit": "solves/s",
-        # chip vs a PERFECT multi-core threadpool of pure-numpy f64
-        # per-instance solves on this host (the reference diffcp
-        # architecture, favoring the baseline; per-core ratio and
-        # ms/solve are in cpu_baseline for independent comparison)
-        "vs_baseline": round(headline / denom if ok else 0.0, 3),
-        "vs_baseline_per_core": round(
-            headline / cpu["solves_per_s_per_core"]
-            if ok and "solves_per_s_per_core" in cpu else 0.0, 3
-        ),
-        "configs": results,
-        "solved_fraction": solved,
-        "cpu_baseline": cpu,
-    }))
+    val, err = _with_timeout(_cpu_run, CPU_BASELINE_TIMEOUT_S + 30,
+                             "cpu_baseline")
+    if err is None:
+        cpu = val
+    else:
+        cpu = dict(_FALLBACK_CPU)
+        cpu["error"] = str(err)[:200]
+
+    emit(complete=True)
 
 
 if __name__ == "__main__":

@@ -72,13 +72,16 @@ class _Converter:
                 PSD=node.attributes.get("PSD", False),
             )
         elif isinstance(node, cp.Parameter):
+            # native Parameter has no `symmetric` attribute (a
+            # symmetric-valued parameter needs no special handling in
+            # an affine position); PSD is the structural one — bug
+            # caught by the stub battery (tests/test_interop_stub.py)
             native = Parameter(
                 node.shape, name=node.name(),
                 nonneg=node.attributes.get("nonneg", False),
                 nonpos=node.attributes.get("nonpos", False),
                 pos=node.attributes.get("pos", False),
                 PSD=node.attributes.get("PSD", False),
-                symmetric=node.attributes.get("symmetric", False),
             )
         else:
             raise InteropError(f"unknown cvxpy leaf {type(node).__name__}")

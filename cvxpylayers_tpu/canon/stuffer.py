@@ -68,6 +68,44 @@ class ConeProgram:
     dual_info: Dict[int, DualInfo]  # constraint.id -> DualInfo
     maximize: bool
 
+    # ---- constant-data detection (the reference's `PA_is_constant`,
+    # moreau_if.py:237-256): a matrix is parameter-independent iff its
+    # reduced map has nonzeros only in the constant (last) column —
+    # detection is free because the stuffer already separates columns
+    # by parameter.
+
+    @property
+    def A_is_constant(self) -> bool:
+        """True iff A's entries do not depend on any parameter."""
+        return self.reduced_A[:, :-1].count_nonzero() == 0
+
+    @property
+    def P_is_constant(self) -> bool:
+        """True iff P's entries do not depend on any parameter
+        (structurally-zero P counts as constant)."""
+        return (self.P_rows.size == 0
+                or self.reduced_P[:, :-1].count_nonzero() == 0)
+
+    def constant_A(self) -> np.ndarray:
+        """Dense constant A (m, n); only valid when A_is_constant."""
+        A = np.zeros((self.m, self.n))
+        data = np.asarray(
+            self.reduced_A[:, -1].todense()
+        ).ravel()
+        A[self.A_rows, self.A_cols] = data
+        return A
+
+    def constant_P(self) -> np.ndarray:
+        """Dense constant P (n, n); only valid when P_is_constant."""
+        P = np.zeros((self.n, self.n))
+        if self.P_rows.size:
+            data = np.asarray(
+                self.reduced_P[:, -1].todense()
+            ).ravel()
+            np.add.at(P, (self.P_rows, self.P_cols), data)
+            P = 0.5 * (P + P.T)
+        return P
+
 
 def _collect(blocks: List[ConeBlock]):
     reps = [b.rep for b in blocks]

@@ -95,6 +95,7 @@ _SOLVER_ARG_KEYS = {
     "assembly": ("assembly",),
     "linsys_iters": ("linsys_iters",),
     "matmul_precision": ("matmul_precision",),
+    "shared_setup": ("shared_setup",),
 }
 
 
@@ -198,6 +199,15 @@ def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
                     f"'highest', got {v!r}"
                 )
             kw["matmul_precision"] = mode
+            continue
+        if k == "shared_setup":
+            mode = str(v).lower()
+            if mode not in ("auto", "on", "off"):
+                raise ValueError(
+                    f"shared_setup must be 'auto', 'on' or 'off', "
+                    f"got {v!r}"
+                )
+            kw["shared_setup"] = mode
             continue
         if k not in _SOLVER_ARG_KEYS:
             raise ValueError(f"unknown solver_args key: {k!r}")
@@ -352,6 +362,13 @@ class CvxpyLayer:
         # Schur split inverts it elementwise, skipping the batched
         # cholesky custom-calls entirely (kkt.solve_polyhedral)
         self._p_diag_only = bool(self._p_diag_full and diag_mask.all())
+        # constant-P/A detection (the reference's PA_is_constant,
+        # moreau_if.py:237-256) — free at stuff time, enables the
+        # shared-factor setup/solve split (solver/shared.py)
+        self._pa_constant = bool(
+            p.m > 0 and p.A_is_constant and p.P_is_constant
+        )
+        self._shared_solvers: Dict[SolverSettings, object] = {}
         self._solvers: Dict[SolverSettings, object] = {}
         self._cores: Dict[SolverSettings, object] = {}
         self._pobj_cores: Dict[SolverSettings, object] = {}
@@ -406,34 +423,130 @@ class CvxpyLayer:
                 )
         return self._solvers[settings]
 
+    def _use_shared(self, settings: SolverSettings) -> bool:
+        """True when the constant-P/A shared-factor setup/solve split
+        applies (solver/shared.py; the reference's Moreau
+        PA_is_constant + setup() amortization)."""
+        if settings.shared_setup == "off":
+            return False
+        applicable = (
+            self._pa_constant
+            and settings.solve_method == "admm"
+            and settings.accel_lookback == 0
+            and self._route(settings) == "dense"
+        )
+        if settings.shared_setup == "on" and not applicable:
+            raise ValueError(
+                "shared_setup='on' requires parameter-independent P and"
+                " A, solve_method='admm', accel_lookback=0 and the "
+                "dense assembly route"
+            )
+        return applicable
+
+    def _shared_solver(self, settings: SolverSettings):
+        if settings not in self._shared_solvers:
+            from ..solver.shared import make_shared_admm_solver
+
+            self._shared_solvers[settings] = make_shared_admm_solver(
+                self.prog.dims, self.prog.n, settings,
+                self.prog.constant_P(), self.prog.constant_A(),
+            )
+        return self._shared_solvers[settings]
+
     def _core(self, settings: SolverSettings):
         """jitted vmapped assemble+solve, cached per settings (jit's own
         cache handles batch shapes/dtypes) — eager layer calls would
         otherwise retrace the whole solve every time."""
         if settings not in self._cores:
-            solver = self._solver(settings)
-            assemble = (self._assemble_sparse
-                        if self._route(settings) == "sparse"
-                        else self._assemble)
+            if self._use_shared(settings):
+                core = self._build_shared_core(settings)
+            else:
+                core = self._build_vmapped_core(settings)
+            self._cores[settings] = jax.jit(core)
+        return self._cores[settings]
 
-            def core(p_ext, x0, y0, s0):
+    def _build_vmapped_core(self, settings: SolverSettings):
+        solver = self._solver(settings)
+        assemble = (self._assemble_sparse
+                    if self._route(settings) == "sparse"
+                    else self._assemble)
+
+        def core(p_ext, x0, y0, s0):
+            def solve_one(p_row, x0_, y0_, s0_):
+                P, q, A, b = assemble(p_row)[:4]
+                return solver(P, q, A, b, x0_, y0_, s0_)
+
+            if settings.matmul_precision != "default":
+                # pin EVERY matmul in the solve (not just the
+                # always-pinned cancellation-critical spots): TPU f32
+                # then tracks CPU f32 on borderline-degenerate
+                # instances (see SolverSettings.matmul_precision)
+                with jax.default_matmul_precision(
+                    settings.matmul_precision
+                ):
+                    return jax.vmap(solve_one)(p_ext, x0, y0, s0)
+            return jax.vmap(solve_one)(p_ext, x0, y0, s0)
+
+        return core
+
+    def _build_shared_core(self, settings: SolverSettings):
+        """Two-phase constant-P/A core: shared-factor batched ADMM
+        (setup amortized across the batch AND across calls — P/A are
+        compile-time constants), then the standard per-instance polish
+        + custom_vjp with the ADMM loop disabled (max_iters=0), warm-
+        started at the shared phase's iterates. Gradients flow through
+        exactly the per-instance implicit-function rules; the shared
+        phase is initialization (stop_gradient), so its iterations
+        never enter the autodiff graph."""
+        from ..solver.settings import DUAL_INFEASIBLE, PRIMAL_INFEASIBLE
+
+        shared = self._shared_solver(settings)
+        polish_settings = settings.replace(max_iters=0, scaling_iters=0)
+        solver = self._solver(polish_settings)
+        assemble = self._assemble
+
+        def core(p_ext, x0, y0, s0):
+            def run():
+                q_B, b_B = jax.vmap(self._assemble_qb)(p_ext)
+                res = shared(q_B, b_B, x0, y0, s0)
+                wx = jax.lax.stop_gradient(res.x)
+                wy = jax.lax.stop_gradient(res.y)
+                ws = jax.lax.stop_gradient(res.s)
+
                 def solve_one(p_row, x0_, y0_, s0_):
                     P, q, A, b = assemble(p_row)[:4]
                     return solver(P, q, A, b, x0_, y0_, s0_)
 
-                if settings.matmul_precision != "default":
-                    # pin EVERY matmul in the solve (not just the
-                    # always-pinned cancellation-critical spots): TPU f32
-                    # then tracks CPU f32 on borderline-degenerate
-                    # instances (see SolverSettings.matmul_precision)
-                    with jax.default_matmul_precision(
-                        settings.matmul_precision
-                    ):
-                        return jax.vmap(solve_one)(p_ext, x0, y0, s0)
-                return jax.vmap(solve_one)(p_ext, x0, y0, s0)
+                x, y, s, st_in, _it = jax.vmap(solve_one)(
+                    p_ext, wx, wy, ws
+                )
+                # the polish cannot see infeasibility (it only measures
+                # KKT residuals); the shared phase's certificates win
+                certified = (
+                    (res.status == PRIMAL_INFEASIBLE)
+                    | (res.status == DUAL_INFEASIBLE)
+                )
+                status = jnp.where(certified, res.status, st_in)
+                return x, y, s, status, res.iters
 
-            self._cores[settings] = jax.jit(core)
-        return self._cores[settings]
+            if settings.matmul_precision != "default":
+                with jax.default_matmul_precision(
+                    settings.matmul_precision
+                ):
+                    return run()
+            return run()
+
+        return core
+
+    def _assemble_qb(self, p_ext_row: jax.Array):
+        """p_ext (n_param+1,) -> (q, b) only — the shared-route
+        assembly (P and A are baked constants there)."""
+        prog = self.prog
+        dtype = p_ext_row.dtype
+        b = jnp.zeros(prog.m, dtype).at[self._b_rows].set(
+            self._apply_b(p_ext_row)
+        )
+        return self._apply_q(p_ext_row)[:-1], b
 
     # ------------------------------------------------------------- batching
 

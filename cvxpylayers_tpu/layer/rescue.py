@@ -37,7 +37,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..solver.settings import SOLVED
+from ..solver.settings import MAX_ITERS, SOLVED
 
 
 def solve_with_rescue(layer, *params, rescue_args: dict,
@@ -64,13 +64,11 @@ def solve_with_rescue(layer, *params, rescue_args: dict,
     """
     batch, flags = layer._parse_batch(params)
     if batch is None:
+        # _parse_batch returned a batch iff at least one parameter was
+        # batched, so this single check covers the unbatched call too
         raise ValueError(
             "solve_with_rescue needs a batched call (the rescue subset "
             "is gathered along the batch axis)"
-        )
-    if not any(flags):
-        raise ValueError(
-            "solve_with_rescue needs at least one batched parameter"
         )
     cap = int(min(capacity, batch))
     if cap <= 0:
@@ -81,9 +79,15 @@ def solve_with_rescue(layer, *params, rescue_args: dict,
     )
 
     bad = status != SOLVED
-    # top_k on the indicator: failed lanes first (ties index-ordered),
-    # solved lanes pad the remainder and are masked out below
-    _, idx = jax.lax.top_k(bad.astype(jnp.float32), cap)
+    # top_k score ranks MAX_ITERS lanes (the rescuable kind: the fast
+    # route merely didn't finish) above infeasible verdicts (which the
+    # accurate route would only re-confirm), so when failures exceed
+    # capacity the budget goes where it can help; solved lanes pad the
+    # remainder and are masked out of the combine below
+    score = jnp.where(status == MAX_ITERS, 2.0, 0.0) + jnp.where(
+        bad, 1.0, 0.0
+    )
+    _, idx = jax.lax.top_k(score, cap)
     mask = bad[idx]
 
     sub_params = tuple(
@@ -94,11 +98,28 @@ def solve_with_rescue(layer, *params, rescue_args: dict,
         from .cvxpylayer import WarmStart
 
         r_ws = WarmStart(x=ws.x[idx], y=ws.y[idx], s=ws.s[idx])
-    r_outs, r_status, r_iters = (
-        layer.solve_with_info(*sub_params, solver_args=rescue_args,
-                              warm_start=r_ws)
-        if r_ws is not None
-        else layer.solve_with_info(*sub_params, solver_args=rescue_args)
+
+    def _rescue(sub):
+        return (
+            layer.solve_with_info(*sub, solver_args=rescue_args,
+                                  warm_start=r_ws)
+            if r_ws is not None
+            else layer.solve_with_info(*sub, solver_args=rescue_args)
+        )
+
+    def _skip(sub):
+        # shapes/dtypes must match the rescue branch: echo the fast
+        # route's values for the gathered lanes (they are all solved)
+        del sub
+        return (tuple(o[idx] for o in outs), status[idx],
+                jnp.zeros_like(iters[idx]))
+
+    # a fully-solved batch skips the capacity-sized rescue solve at
+    # runtime (lax.cond executes one branch); gradients still flow —
+    # cond is linearized branch-wise, and the untaken branch's pullback
+    # receives zero cotangents
+    r_outs, r_status, r_iters = jax.lax.cond(
+        jnp.any(bad), _rescue, _skip, sub_params
     )
 
     def _combine(o, ro):

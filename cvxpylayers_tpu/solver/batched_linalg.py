@@ -212,6 +212,81 @@ def qr_r(M, panel: int = 8):
     return R[:n, :n]
 
 
+def chol_blocked(A, panel: int = 64):
+    """Right-looking BLOCKED Cholesky of one SPD (n, n) matrix -> lower
+    L, for n above MASKED_MAX_DIM (the n=500 Markowitz class, VERDICT
+    r3 #4): the masked per-column loop runs n sequential full-matrix
+    passes (HBM-bound, measured 16x slower than the custom-call at
+    n=500), and the custom-call is 100-1000x off matmul speed-of-light
+    on this backend — the blocked form keeps the sequential part at
+    panel size (masked loop on (r, r) diagonal blocks) and does the
+    FLOPs-dominant trailing updates as big MXU matmuls:
+
+        L11 = chol_masked(A11)           (r sequential steps, r x r)
+        L21 = A21 @ inv(L11)'            ((n-k) x r matmul)
+        A22 -= L21 @ L21'                ((n-k) x (n-k) matmul)
+
+    Matmuls are pinned to full-f32 internally: a bf16 trailing update
+    would floor the factor at ~1e-3 (the r2 precision trap). The
+    static python loop unrolls n/panel block steps; shapes shrink per
+    step so every op stays static. vmap for batches."""
+    n = A.shape[0]
+    if n <= panel:
+        return chol_masked(A)
+    with jax.default_matmul_precision("highest"):
+        L = jnp.zeros_like(A)
+        Aw = A
+        for k0 in range(0, n, panel):
+            r = min(panel, n - k0)
+            A11 = Aw[:r, :r]
+            L11 = chol_masked(A11)
+            L = L.at[k0:k0 + r, k0:k0 + r].set(L11)
+            if k0 + r < n:
+                Li = tri_inv_masked(L11, lower=True)
+                L21 = Aw[r:, :r] @ Li.T
+                L = L.at[k0 + r:, k0:k0 + r].set(L21)
+                Aw = Aw[r:, r:] - L21 @ L21.T
+        return L
+
+
+def tri_inv_blocked(L, panel: int = 64, lower: bool = True):
+    """Explicit inverse of one triangular (n, n) matrix by block
+    forward substitution — the large-n replacement for the
+    solve_triangular(L, eye) custom-call (2x2 block recurrence:
+    X22 = inv(L22), X21 = -X22 L21 X11, applied panel-wise). The
+    off-diagonal work is all matmul (MXU); only the (r, r) diagonal
+    blocks run the masked sequential loop."""
+    n = L.shape[0]
+    if not lower:
+        return tri_inv_blocked(L.T, panel=panel, lower=True).T
+    if n <= panel:
+        return tri_inv_masked(L, lower=True)
+    with jax.default_matmul_precision("highest"):
+        X = jnp.zeros_like(L)
+        blocks = []
+        for k0 in range(0, n, panel):
+            r = min(panel, n - k0)
+            blocks.append((k0, r))
+            X = X.at[k0:k0 + r, k0:k0 + r].set(
+                tri_inv_masked(L[k0:k0 + r, k0:k0 + r], lower=True)
+            )
+        # column sweep: X[i, j] = -Xii @ (sum_k L[i, k] X[k, j]) for
+        # i > j, built panel-row by panel-row (each step two matmuls)
+        for bi, (i0, ri) in enumerate(blocks):
+            for bj in range(bi):
+                j0, rj = blocks[bj]
+                acc = jnp.zeros((ri, rj), L.dtype)
+                for bk in range(bj, bi):
+                    k0, rk = blocks[bk]
+                    acc = acc + L[i0:i0 + ri, k0:k0 + rk] @ X[
+                        k0:k0 + rk, j0:j0 + rj
+                    ]
+                X = X.at[i0:i0 + ri, j0:j0 + rj].set(
+                    -X[i0:i0 + ri, i0:i0 + ri] @ acc
+                )
+        return X
+
+
 def tri_inv_masked(L, lower: bool = True):
     """Explicit inverse of one triangular (n, n) matrix by masked
     forward substitution on the identity (column-wise recurrence).

@@ -421,6 +421,166 @@ def make_matfree_admm_solver(ops: SparseOps, dims: ConeDims, n: int,
     return solve
 
 
+# ------------------------------------------------------------------- PDHG
+
+
+def make_matfree_pdhg_solver(ops: SparseOps, dims: ConeDims, n: int,
+                             settings: SolverSettings):
+    """Matrix-free restarted-averaged PDHG: solver/pdhg.py's algorithm
+    (Chambolle-Pock + Halpern averaging + restart-to-best, Banjac
+    certificates) with every dense matmul replaced by an O(nnz) SpMV.
+    This is PDHG's natural home — huge sparse conic LPs where even the
+    ADMM x-update CG is the bottleneck (reference analogue: MPAX's
+    raPDHG on BCSR data, /root/reference/src/cvxpylayers/interfaces/
+    mpax_if.py:149-163,390-416). P must be structurally zero (the layer
+    enforces this before routing here)."""
+    m = dims.total
+    proj_K = make_cone_projector(dims)
+    group_ids, n_groups = _cone_row_groups(dims)
+    st = settings
+
+    def proj_dual(u):
+        return u + proj_K(-u)
+
+    def solve(P_data, q, A_data, b, x0, y0, s0):
+        dtype = q.dtype
+        del s0  # PDHG tracks (x, y); s is recovered at the end
+        Ad0, q0, b0 = A_data, q, b
+
+        _, Ads, qs, bs, D, E, c = _ruiz_equilibrate_matfree(
+            ops, P_data, A_data, q, b, group_ids, n_groups,
+            st.scaling_iters,
+        )
+
+        # ||A||_2 by power iteration (converges from below; 1.1 safety
+        # factor keeps tau*sigma*||A||^2 < 1 — see solver/pdhg.py)
+        def pow_body(_, v):
+            w = ops.A_rmv(Ads, ops.A_mv(Ads, v))
+            return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+        v0 = jnp.ones(n, dtype) / jnp.sqrt(jnp.asarray(float(n), dtype))
+        v = jax.lax.fori_loop(0, 12, pow_body, v0)
+        a_norm = 1.1 * jnp.maximum(
+            jnp.linalg.norm(ops.A_mv(Ads, v)), 1e-12
+        )
+        step = 0.9 / a_norm
+
+        x = x0 / D
+        y = c * y0 / E
+
+        def unscaled(xb, yb):
+            return D * xb, (E * yb) / c
+
+        def residuals(xb, yb):
+            xu, yu = unscaled(xb, yb)
+            Ax = ops.A_mv(Ad0, xu)
+            s_u = proj_K(b0 - Ax)
+            r_p = (jnp.max(jnp.abs(Ax + s_u - b0)) if m
+                   else jnp.asarray(0.0, dtype))
+            p_sc = jnp.maximum(
+                jnp.max(jnp.abs(Ax)) if m else 0.0,
+                jnp.maximum(jnp.max(jnp.abs(s_u)) if m else 0.0,
+                            jnp.max(jnp.abs(b0)) if m else 0.0),
+            )
+            Aty = ops.A_rmv(Ad0, yu) if m else jnp.zeros(n, dtype)
+            r_d = jnp.max(jnp.abs(q0 + Aty))
+            d_sc = jnp.maximum(jnp.max(jnp.abs(Aty)),
+                               jnp.max(jnp.abs(q0)))
+            return r_p, p_sc, r_d, d_sc
+
+        def inner(carry, _):
+            x_, y_, xa, ya, k = carry
+            x_n = x_ - step * (
+                qs + (ops.A_rmv(Ads, y_) if m else 0.0)
+            )
+            xbar = 2.0 * x_n - x_
+            y_n = (proj_dual(y_ + step * (ops.A_mv(Ads, xbar) - bs))
+                   if m else jnp.zeros(0, dtype))
+            kf = k.astype(dtype)
+            xa = (kf * xa + x_n) / (kf + 1.0)
+            ya = (kf * ya + y_n) / (kf + 1.0)
+            return (x_n, y_n, xa, ya, k + 1), None
+
+        def epoch_body(state):
+            x_, y_, it, status, _rp, _rd = state
+            x_prev, y_prev = x_, y_
+            (x_c, y_c, xa, ya, _), _ = jax.lax.scan(
+                inner, (x_, y_, x_, y_, jnp.asarray(0, jnp.int32)),
+                None, length=st.epoch,
+            )
+            it = it + st.epoch
+            r_pl, p_sl, r_dl, d_sl = residuals(x_c, y_c)
+            r_pa, p_sa, r_da, d_sa = residuals(xa, ya)
+            last_merit = (r_pl / jnp.maximum(p_sl, 1e-12)
+                          + r_dl / jnp.maximum(d_sl, 1e-12))
+            avg_merit = (r_pa / jnp.maximum(p_sa, 1e-12)
+                         + r_da / jnp.maximum(d_sa, 1e-12))
+            use_avg = avg_merit < last_merit
+            x_ = jnp.where(use_avg, xa, x_c)
+            y_ = jnp.where(use_avg, ya, y_c)
+            r_p = jnp.where(use_avg, r_pa, r_pl)
+            p_sc = jnp.where(use_avg, p_sa, p_sl)
+            r_d = jnp.where(use_avg, r_da, r_dl)
+            d_sc = jnp.where(use_avg, d_sa, d_sl)
+
+            eps_p = st.admm_eps_abs + st.admm_eps_rel * p_sc
+            eps_d = st.admm_eps_abs + st.admm_eps_rel * d_sc
+            converged = (r_p <= eps_p) & (r_d <= eps_d)
+
+            dxu = D * (x_ - x_prev)
+            dyu = (E * (y_ - y_prev)) / c
+            ny = jnp.max(jnp.abs(dyu)) if m else jnp.asarray(0.0, dtype)
+            nx = jnp.max(jnp.abs(dxu))
+            safe_ny = jnp.where(ny > 0, ny, 1.0)
+            safe_nx = jnp.where(nx > 0, nx, 1.0)
+            Atdy = ops.A_rmv(Ad0, dyu) if m else jnp.zeros(n, dtype)
+            proj_dual_dy = proj_dual(dyu)
+            dual_dist = (jnp.max(jnp.abs(proj_dual_dy - dyu)) if m
+                         else jnp.asarray(0.0, dtype))
+            pinf = (
+                (ny > 10 * st.eps_infeas)
+                & (jnp.max(jnp.abs(Atdy)) <= st.eps_infeas * safe_ny)
+                & (dual_dist <= st.eps_infeas * safe_ny)
+                & ((b0 @ dyu if m else jnp.asarray(0.0, dtype))
+                   < -st.eps_infeas * safe_ny)
+            )
+            Adx = ops.A_mv(Ad0, dxu) if m else jnp.zeros(0, dtype)
+            rec_dist = (jnp.max(jnp.abs(-proj_K(-Adx) - Adx)) if m
+                        else jnp.asarray(0.0, dtype))
+            dinf = (
+                (nx > 10 * st.eps_infeas)
+                & (rec_dist <= st.eps_infeas * safe_nx)
+                & ((q0 @ dxu) < -st.eps_infeas * safe_nx)
+            )
+            status = jnp.where(
+                converged, SOLVED,
+                jnp.where(pinf, PRIMAL_INFEASIBLE,
+                          jnp.where(dinf, DUAL_INFEASIBLE, MAX_ITERS)),
+            ).astype(jnp.int32)
+            return x_, y_, it, status, r_p, r_d
+
+        def cond(state):
+            _x, _y, it, status, _rp, _rd = state
+            return (status == MAX_ITERS) & (it < st.max_iters)
+
+        init = (x, y, jnp.asarray(0, jnp.int32),
+                jnp.asarray(MAX_ITERS, jnp.int32),
+                jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype))
+        x, y, it, status, r_p, r_d = jax.lax.while_loop(
+            cond, epoch_body, init
+        )
+
+        xu, yu = unscaled(x, y)
+        s_u = (proj_K(b0 - ops.A_mv(Ad0, xu)) if m
+               else jnp.zeros(0, dtype))
+        pobj = q0 @ xu
+        return SolveResult(
+            x=xu, y=yu, s=s_u, status=status, iters=it, pobj=pobj
+        )
+
+    return solve
+
+
 # -------------------------------------------------------------------- KKT
 
 
@@ -545,14 +705,16 @@ def make_matfree_kkt_solver(ops: SparseOps, dims: ConeDims, n: int,
 
 def make_matfree_polished_solver(ops: SparseOps, dims: ConeDims, n: int,
                                  settings: SolverSettings,
-                                 p_diag_only: bool = False):
-    """Matrix-free ADMM + semismooth-Newton polish, statuses decided by
-    the post-polish unscaled KKT residual (the same two-stage accuracy
-    contract as refine.make_polished_solver)."""
+                                 p_diag_only: bool = False,
+                                 base=None):
+    """Matrix-free (ADMM-or-PDHG) + semismooth-Newton polish, statuses
+    decided by the post-polish unscaled KKT residual (the same two-stage
+    accuracy contract as refine.make_polished_solver)."""
     from .refine import _ESCAPE_STEP, _newton_polish_loop
 
     m = dims.total
-    base = make_matfree_admm_solver(ops, dims, n, settings)
+    if base is None:
+        base = make_matfree_admm_solver(ops, dims, n, settings)
     residual, split = make_matfree_kkt(ops, dims, n)
     kkt_solve = make_matfree_kkt_solver(
         ops, dims, n, cg_iters=settings.cg_iters,
@@ -628,15 +790,25 @@ def make_matfree_diff_solver(ops: SparseOps, dims: ConeDims, n: int,
     pattern, so the backward cost is O(nnz), never O(mn).
     """
     m = dims.total
-    if settings.solve_method != "admm":
+    if settings.solve_method == "ipm":
         raise ValueError(
-            f"solve_method={settings.solve_method!r} requires the dense "
-            "assembly route; the sparse large-instance path is "
-            "ADMM+polish only (pass solver_args={'assembly': 'dense'} "
-            "to force dense, or drop solve_method)."
+            "solve_method='ipm' requires the dense assembly route; the "
+            "sparse large-instance path supports 'admm' and 'pdhg' "
+            "(pass solver_args={'assembly': 'dense'} to force dense, "
+            "or drop solve_method)."
         )
+    first_order = None
+    if settings.solve_method == "pdhg":
+        if ops.nnz_P:
+            raise ValueError(
+                "solve_method='pdhg' requires a problem with no "
+                "quadratic objective (PDHG's x-update is a gradient "
+                "step); use 'admm' (default)."
+            )
+        first_order = make_matfree_pdhg_solver(ops, dims, n, settings)
     base = make_matfree_polished_solver(
-        ops, dims, n, settings, p_diag_only=p_diag_only
+        ops, dims, n, settings, p_diag_only=p_diag_only,
+        base=first_order,
     )
     kkt_solve = make_matfree_kkt_solver(
         ops, dims, n, cg_iters=settings.cg_iters,

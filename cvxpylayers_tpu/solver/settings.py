@@ -95,6 +95,17 @@ class SolverSettings:
     # "auto" = dense until m*n crosses matfree._DENSE_ASSEMBLY_LIMIT
     linsys_iters: int = 10       # matrix-free ADMM x-update CG budget
     # (warm-started at the previous iterate; SCS-indirect-style)
+    shared_setup: str = "auto"   # constant-P/A setup/solve split
+    # (solver/shared.py — the reference Moreau `PA_is_constant` +
+    # setup() amortization, moreau_if.py:237-256): when P and A are
+    # parameter-independent, hoist the per-epoch (n, n) factorization
+    # out of the batch (ONE shared factor instead of B identical ones;
+    # first epoch constant-folded by XLA) and run the ADMM inner loop
+    # as shared-operand (B, m) @ (m, n) matmuls, then hand the result
+    # to the standard per-instance polish + custom_vjp as a warm start.
+    # "auto" = on whenever the stuffer detects constant P and A (dense
+    # ADMM route only); "on" = error if not detected; "off" = always
+    # use the vmapped per-instance route
     matmul_precision: str = "default"  # "default" | "high" | "highest":
     # wraps the WHOLE solve in jax.default_matmul_precision. On TPU,
     # f32 matmuls feed the MXU bf16 inputs by default, which perturbs

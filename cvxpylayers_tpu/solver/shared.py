@@ -1,0 +1,311 @@
+"""Shared-data batched ADMM: the constant-P/A setup/solve split.
+
+The reference's flagship backend detects when P and A are
+parameter-independent and runs the expensive factorization setup exactly
+once (Moreau's `PA_is_constant` + `solver.setup(P, A)`,
+/root/reference/src/cvxpylayers/interfaces/moreau_if.py:237-256,317-321).
+The TPU-native generalization implemented here:
+
+  * P and A are **closure constants** baked into the compiled
+    executable: the Ruiz equilibration of (P, A) runs at build time on
+    the host, and XLA constant-folds the first epoch's factorization —
+    the "setup" phase literally costs zero at call time, and re-solving
+    with new q/b (any batch size) reuses the same executable (the
+    reference's setup()/solve() split, compiler-enforced).
+  * Under `jax.vmap`, a batch whose A is constant computes B *identical*
+    (n, n) Cholesky factorizations per epoch. Here the factorization is
+    hoisted out of the batch: ONE (n, n) factor per epoch feeds every
+    lane, and each inner iteration becomes three (B, ·) @ (·, ·)
+    matmuls against shared operands — dense MXU work with O(n^2) (not
+    O(B n^2)) operand traffic.
+  * rho must stay shared for the factor to stay shared, so the adaptive
+    update pools the per-lane residual ratios (geometric mean over the
+    still-active lanes) into one scalar step. Per-lane convergence,
+    statuses and Banjac infeasibility certificates are unchanged;
+    converged lanes freeze (exactly the vmapped while_loop semantics).
+
+The layer composes this with the standard per-instance machinery: the
+shared solve provides warm starts + certificates, then the per-instance
+polish + custom_vjp (diff/derivative.py, untouched) runs with
+`max_iters=0`. Gradients therefore flow through exactly the same
+implicit-function rules as the vmapped route.
+
+Deliberate deviation from solver/admm.py's scaling: the per-lane cost
+normalization gamma is pooled into one scalar (median of the per-lane
+values) because a per-lane gamma would scale P per lane and break the
+shared factor. Residual checks use unscaled data, so this affects
+conditioning only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..cones.dims import ConeDims
+from ..cones.projections import make_cone_projector
+from .admm import SolveResult, _cone_row_groups
+from .settings import (
+    DUAL_INFEASIBLE,
+    MAX_ITERS,
+    PRIMAL_INFEASIBLE,
+    SOLVED,
+    SolverSettings,
+)
+
+
+def _ruiz_host(P, A, group_ids, n_groups, iters: int):
+    """Host-side (numpy, f64) Ruiz equilibration of [[P, A'], [A, 0]]
+    with per-cone-block row pooling — the same recurrence as
+    admm._ruiz_equilibrate minus the cost scaling (pooled at runtime).
+    Runs once at layer build; results are baked as constants."""
+    P = np.asarray(P, np.float64).copy()
+    A = np.asarray(A, np.float64).copy()
+    n = P.shape[0]
+    m = A.shape[0]
+    D = np.ones(n)
+    E = np.ones(m)
+    for _ in range(max(iters, 0)):
+        col = np.maximum(
+            np.abs(P).max(axis=0) if n else np.zeros(0),
+            np.abs(A).max(axis=0) if m else np.zeros(n),
+        )
+        dx = 1.0 / np.sqrt(np.where(col > 1e-12, col, 1.0))
+        row = np.abs(A).max(axis=1) if n else np.zeros(m)
+        if m:
+            pooled = np.zeros(n_groups)
+            np.maximum.at(pooled, group_ids, row)
+            row = pooled[group_ids]
+        de = 1.0 / np.sqrt(np.where(row > 1e-12, row, 1.0))
+        P = dx[:, None] * P * dx[None, :]
+        A = de[:, None] * A * dx[None, :]
+        D *= dx
+        E *= de
+    return P, A, D, E
+
+
+def make_shared_admm_solver(dims: ConeDims, n: int,
+                            settings: SolverSettings,
+                            P_const, A_const):
+    """Build solve(q, b, x0, y0, s0) over a leading batch axis on
+    q/b/x0/y0/s0, with P_const (n, n) and A_const (m, n) baked in.
+    Returns a batched SolveResult. jit-compatible; do NOT vmap it —
+    the batch axis is explicit (that is the point)."""
+    m = dims.total
+    assert m > 0, "shared route requires constraints"
+    proj_K = make_cone_projector(dims)
+    group_ids, n_groups = _cone_row_groups(dims)
+    st = settings
+
+    Ps_np, As_np, D_np, E_np = _ruiz_host(
+        P_const, A_const, group_ids, n_groups, st.scaling_iters
+    )
+    # mean column norm of the scaled P — the P-part of the cost scaling
+    # gamma (constant; the q part pools at runtime)
+    pcol_mean = float(np.abs(Ps_np).max(axis=0).mean()) if n else 0.0
+    is_eq_row = np.arange(m) < dims.zero
+
+    def proj_C_one(u, b):
+        return b - proj_K(b - u)
+
+    proj_C = jax.vmap(proj_C_one)
+    proj_K_b = jax.vmap(proj_K)
+
+    def solve(q, b, x0, y0, s0):
+        dtype = q.dtype
+        B = q.shape[0]
+        P0 = jnp.asarray(np.asarray(P_const), dtype)
+        A0 = jnp.asarray(np.asarray(A_const), dtype)
+        Ps = jnp.asarray(Ps_np, dtype)
+        As = jnp.asarray(As_np, dtype)
+        D = jnp.asarray(D_np, dtype)
+        E = jnp.asarray(E_np, dtype)
+
+        qs_raw = q * D[None, :]
+        bs = b * E[None, :]
+        # pooled cost scaling: ONE scalar c for the whole batch (a
+        # per-lane gamma would scale P per lane and break the shared
+        # factor); median of the per-lane admm.py denominators
+        gden = jnp.median(jnp.max(jnp.abs(qs_raw), axis=1))
+        gden = jnp.maximum(jnp.asarray(pcol_mean, dtype), gden)
+        c = 1.0 / jnp.where(gden > 1e-12, gden, 1.0)
+        qs = c * qs_raw
+
+        X = x0 / D[None, :]
+        Z = E[None, :] * (b - s0)
+        Y = c * y0 / E[None, :]
+
+        rho0 = jnp.where(
+            jnp.asarray(is_eq_row),
+            jnp.asarray(st.rho * st.rho_eq_scale, dtype),
+            jnp.asarray(st.rho, dtype),
+        )
+
+        def factor(rho):
+            """ONE (n, n) explicit inverse per epoch, shared by every
+            lane (vs B per epoch under vmap) — and constant-folded by
+            XLA for the first epoch, since Ps/As/rho0 are constants."""
+            M = c * Ps + st.sigma * jnp.eye(n, dtype=dtype) \
+                + (As.T * rho) @ As
+            L = jnp.linalg.cholesky(M)
+            eye = jnp.eye(n, dtype=dtype)
+            z_ = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            return jax.scipy.linalg.solve_triangular(
+                L, z_, lower=True, trans=1
+            )
+
+        def unscaled(Xb, Zb, Yb):
+            Xu = Xb * D[None, :]
+            Su = (bs - Zb) / E[None, :]
+            Yu = (Yb * E[None, :]) / c
+            return Xu, Su, Yu
+
+        def residuals(Xb, Zb, Yb):
+            """Per-lane residuals/scales on the UNSCALED data —
+            identical math to admm.residuals, batched."""
+            Xu, Su, Yu = unscaled(Xb, Zb, Yb)
+            AX = Xu @ A0.T
+            r_p = jnp.max(jnp.abs(AX + Su - b), axis=1)
+            p_sc = jnp.maximum(
+                jnp.max(jnp.abs(AX), axis=1),
+                jnp.maximum(jnp.max(jnp.abs(Su), axis=1),
+                            jnp.max(jnp.abs(b), axis=1)),
+            )
+            PX = Xu @ P0.T
+            ATY = Yu @ A0
+            r_d = jnp.max(jnp.abs(PX + q + ATY), axis=1)
+            d_sc = jnp.maximum(
+                jnp.max(jnp.abs(PX), axis=1),
+                jnp.maximum(jnp.max(jnp.abs(ATY), axis=1),
+                            jnp.max(jnp.abs(q), axis=1)),
+            )
+            return r_p, p_sc, r_d, d_sc
+
+        def inner(carry, _):
+            X_, Z_, Y_, Minv, rho = carry
+            RHS = st.sigma * X_ - qs + (Z_ * rho[None, :] - Y_) @ As
+            Xt = RHS @ Minv  # Minv symmetric
+            Zt = Xt @ As.T
+            Xn = st.alpha * Xt + (1 - st.alpha) * X_
+            W = st.alpha * Zt + (1 - st.alpha) * Z_ + Y_ / rho[None, :]
+            Zn = proj_C(W, bs)
+            Yn = rho[None, :] * (W - Zn)
+            return (Xn, Zn, Yn, Minv, rho), None
+
+        def epoch_body(state):
+            X_, Z_, Y_, rho, k, it, status, active = state
+            Minv = factor(rho)
+            Xp, Yp = X_, Y_
+            (Xn, Zn, Yn, _, _), _ = jax.lax.scan(
+                inner, (X_, Z_, Y_, Minv, rho), None, length=st.epoch
+            )
+            # freeze finished lanes (the vmapped-while_loop contract)
+            am = active[:, None]
+            X_ = jnp.where(am, Xn, X_)
+            Z_ = jnp.where(am, Zn, Z_)
+            Y_ = jnp.where(am, Yn, Y_)
+            it = it + jnp.where(active, st.epoch, 0).astype(jnp.int32)
+            k = k + 1
+
+            r_p, p_sc, r_d, d_sc = residuals(X_, Z_, Y_)
+            eps_p = st.admm_eps_abs + st.admm_eps_rel * p_sc
+            eps_d = st.admm_eps_abs + st.admm_eps_rel * d_sc
+            converged = (r_p <= eps_p) & (r_d <= eps_d)
+
+            # ---- Banjac certificates on the per-lane deltas ----------
+            dXu = (X_ - Xp) * D[None, :]
+            dYu = ((Y_ - Yp) * E[None, :]) / c
+            ny = jnp.max(jnp.abs(dYu), axis=1)
+            nx = jnp.max(jnp.abs(dXu), axis=1)
+            safe_ny = jnp.where(ny > 0, ny, 1.0)
+            safe_nx = jnp.where(nx > 0, nx, 1.0)
+            AtdY = dYu @ A0
+            proj_dual_dY = dYu + proj_K_b(-dYu)
+            dual_dist = jnp.max(jnp.abs(proj_dual_dY - dYu), axis=1)
+            pinf = (
+                (ny > 10 * st.eps_infeas)
+                & (jnp.max(jnp.abs(AtdY), axis=1)
+                   <= st.eps_infeas * safe_ny)
+                & (dual_dist <= st.eps_infeas * safe_ny)
+                & (jnp.sum(b * dYu, axis=1) < -st.eps_infeas * safe_ny)
+            )
+            AdX = dXu @ A0.T
+            rec_dist = jnp.max(
+                jnp.abs(-proj_K_b(-AdX) - AdX), axis=1
+            )
+            PdX = dXu @ P0.T
+            dinf = (
+                (nx > 10 * st.eps_infeas)
+                & (jnp.max(jnp.abs(PdX), axis=1)
+                   <= st.eps_infeas * safe_nx)
+                & (rec_dist <= st.eps_infeas * safe_nx)
+                & (jnp.sum(q * dXu, axis=1) < -st.eps_infeas * safe_nx)
+            )
+
+            new_status = jnp.where(
+                converged,
+                SOLVED,
+                jnp.where(pinf, PRIMAL_INFEASIBLE,
+                          jnp.where(dinf, DUAL_INFEASIBLE, MAX_ITERS)),
+            ).astype(jnp.int32)
+            status = jnp.where(active, new_status, status)
+            active = status == MAX_ITERS
+
+            # ---- pooled adaptive rho (shared scalar step) ------------
+            if st.adaptive_rho:
+                ratio = jnp.sqrt(
+                    jnp.maximum(
+                        r_p / jnp.where(p_sc > 1e-12, p_sc, 1.0), 1e-10
+                    )
+                    / jnp.maximum(
+                        r_d / jnp.where(d_sc > 1e-12, d_sc, 1.0), 1e-10
+                    )
+                )
+                ratio = jnp.clip(
+                    ratio, 1.0 / st.adaptive_rho_clamp,
+                    st.adaptive_rho_clamp,
+                )
+                # geometric mean over still-active lanes; inert (=1)
+                # when none are active
+                w_act = active.astype(dtype)
+                n_act = jnp.maximum(jnp.sum(w_act), 1.0)
+                pooled = jnp.exp(
+                    jnp.sum(jnp.log(ratio) * w_act) / n_act
+                )
+                update = (pooled > st.adaptive_rho_tol) | (
+                    pooled < 1.0 / st.adaptive_rho_tol
+                )
+                rho = jnp.where(
+                    update & jnp.any(active),
+                    jnp.clip(rho * pooled, st.rho_min, st.rho_max),
+                    rho,
+                )
+
+            return X_, Z_, Y_, rho, k, it, status, active
+
+        def cond(state):
+            _X, _Z, _Y, _rho, k, _it, _status, active = state
+            return jnp.any(active) & (k * st.epoch < st.max_iters)
+
+        init = (
+            X, Z, Y, rho0,
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros(B, jnp.int32),
+            jnp.full(B, MAX_ITERS, jnp.int32),
+            jnp.ones(B, bool),
+        )
+        X, Z, Y, rho, _k, it, status, _active = jax.lax.while_loop(
+            cond, epoch_body, init
+        )
+
+        Xu, Su, Yu = unscaled(X, Z, Y)
+        pobj = 0.5 * jnp.sum(Xu * (Xu @ P0.T), axis=1) + jnp.sum(
+            q * Xu, axis=1
+        )
+        return SolveResult(
+            x=Xu, y=Yu, s=Su, status=status, iters=it, pobj=pobj
+        )
+
+    return solve

@@ -159,3 +159,75 @@ class TestPallasQr:
             np.einsum("bij,bik->bjk", Rm, Rm),
             rtol=2e-4, atol=2e-4,
         )
+
+
+class TestBlockedLargeN:
+    """chol_blocked / tri_inv_blocked — the n=500-class replacements for
+    the batched factorization custom-calls (VERDICT r3 #4). Oracle:
+    LAPACK on the same matrices; non-divisible n exercises the ragged
+    last panel."""
+
+    def _spd(self, rng, n):
+        M = rng.standard_normal((n, n))
+        return M @ M.T + n * np.eye(n)
+
+    def test_chol_blocked_matches_numpy(self):
+        from cvxpylayers_tpu.solver.batched_linalg import chol_blocked
+
+        rng = np.random.default_rng(0)
+        for n, panel in [(100, 32), (130, 64), (64, 64), (150, 48)]:
+            A = self._spd(rng, n)
+            L = np.asarray(chol_blocked(jnp.asarray(A), panel=panel))
+            np.testing.assert_allclose(L, np.linalg.cholesky(A),
+                                       rtol=1e-10, atol=1e-8)
+
+    def test_chol_blocked_f32_batched(self):
+        from cvxpylayers_tpu.solver.batched_linalg import chol_blocked
+
+        rng = np.random.default_rng(1)
+        B, n = 4, 200
+        A = np.stack([self._spd(rng, n) for _ in range(B)])
+        Af = jnp.asarray(A, jnp.float32)
+        L = np.asarray(jax.vmap(
+            lambda a: chol_blocked(a, panel=64)
+        )(Af))
+        ref = np.linalg.cholesky(A)
+        err = np.abs(L - ref).max() / np.abs(ref).max()
+        assert err < 1e-4  # f32 with pinned-precision matmuls
+
+    def test_tri_inv_blocked_matches_inverse(self):
+        from cvxpylayers_tpu.solver.batched_linalg import (
+            chol_blocked,
+            tri_inv_blocked,
+        )
+
+        rng = np.random.default_rng(2)
+        for n, panel in [(100, 32), (130, 64)]:
+            A = self._spd(rng, n)
+            L = np.asarray(chol_blocked(jnp.asarray(A), panel=panel))
+            Li = np.asarray(tri_inv_blocked(jnp.asarray(L), panel=panel))
+            np.testing.assert_allclose(Li @ L, np.eye(n), atol=1e-8)
+            # upper-triangular path
+            Ui = np.asarray(tri_inv_blocked(jnp.asarray(L.T),
+                                            panel=panel, lower=False))
+            np.testing.assert_allclose(L.T @ Ui, np.eye(n), atol=1e-8)
+
+    def test_small_n_falls_back_to_masked(self):
+        from cvxpylayers_tpu.solver.batched_linalg import (
+            chol_blocked,
+            chol_masked,
+            tri_inv_blocked,
+            tri_inv_masked,
+        )
+
+        rng = np.random.default_rng(3)
+        A = self._spd(rng, 20)
+        np.testing.assert_allclose(
+            np.asarray(chol_blocked(jnp.asarray(A), panel=64)),
+            np.asarray(chol_masked(jnp.asarray(A))), atol=1e-12,
+        )
+        L = np.asarray(chol_masked(jnp.asarray(A)))
+        np.testing.assert_allclose(
+            np.asarray(tri_inv_blocked(jnp.asarray(L), panel=64)),
+            np.asarray(tri_inv_masked(jnp.asarray(L))), atol=1e-12,
+        )

@@ -1,0 +1,232 @@
+"""Executed coverage for the cvxpy interop shim WITHOUT cvxpy installed
+(VERDICT r3 #6, mirroring the mlx-stub trick): `_cvxpy_stub` fakes the
+public cvxpy expression-DAG surface the shim walks (same class names,
+same duck-typed attributes), so `canon/cvxpy_interop.py` executes its
+real dispatch paths in this environment. The six conformance cases from
+test_conformance_cvxpy.py run against the stub with native oracles
+(closed forms / a natively-declared twin layer) — the reference corpus
+being cvxpy-written is exactly why this surface matters
+(/root/reference/tests/test_torch.py:41-59 etc.)."""
+
+import importlib
+import sys
+
+import numpy as np
+import pytest
+
+try:
+    import cvxpy as _real_cvxpy  # noqa: F401
+
+    HAVE_REAL = True
+except ImportError:
+    HAVE_REAL = False
+
+import jax
+import jax.numpy as jnp
+
+import cvxpylayers_tpu as ct
+from cvxpylayers_tpu import CvxpyLayer
+
+rng = np.random.default_rng(7)
+
+
+@pytest.fixture
+def cp(monkeypatch):
+    """Inject the stub as `cvxpy` (skipped when the real one exists —
+    then test_conformance_cvxpy.py runs the battery for real)."""
+    if HAVE_REAL:
+        pytest.skip("real cvxpy installed; the real battery covers this")
+    stub = importlib.import_module("_cvxpy_stub")
+    monkeypatch.setitem(sys.modules, "cvxpy", stub)
+    yield stub
+
+
+class TestConversionMechanics:
+    def test_is_cvxpy_problem(self, cp):
+        from cvxpylayers_tpu.canon.cvxpy_interop import is_cvxpy_problem
+
+        x = cp.Variable(2)
+        prob = cp.Problem(cp.Minimize(cp.sum_squares(x)), [x >= 0])
+        assert is_cvxpy_problem(prob)
+        assert not is_cvxpy_problem(object())
+
+    def test_leaf_attributes_carry_over(self, cp):
+        from cvxpylayers_tpu.canon.cvxpy_interop import convert_problem
+
+        x = cp.Variable(3, nonneg=True)
+        S = cp.Variable((2, 2), symmetric=True)
+        t = cp.Parameter(3, name="theta", pos=True)
+        prob = cp.Problem(
+            cp.Minimize(cp.sum_squares(x - t) + cp.trace(S)), [S >> 0]
+        )
+        native, (nt,), (nx, nS) = convert_problem(prob, [t], [x, S])
+        assert nx.nonneg and nS.symmetric
+        assert nt.name == "theta" and nt.pos
+        assert native.is_dcp()
+
+    def test_unknown_atom_raises(self, cp):
+        from cvxpylayers_tpu.canon.cvxpy_interop import (
+            InteropError,
+            convert_problem,
+        )
+
+        class frobnicate(cp.Expression):  # noqa: N801 — fake atom
+            pass
+
+        x = cp.Variable(2)
+        prob = cp.Problem(cp.Minimize(frobnicate([x])))
+        with pytest.raises(InteropError, match="frobnicate"):
+            convert_problem(prob, [], [x])
+
+    def test_soc_and_expcone_constraints_convert(self, cp):
+        from cvxpylayers_tpu.canon.cvxpy_interop import convert_problem
+
+        x = cp.Variable(3)
+        t = cp.Variable()
+        u = cp.Variable()
+        prob = cp.Problem(
+            cp.Minimize(t),
+            [cp.SOC(t, x), cp.ExpCone(t, u, t + 1.0)],
+        )
+        native, _, _ = convert_problem(prob, [], [t])
+        kinds = [type(c).__name__ for c in native.constraints]
+        assert "SOC" in kinds[0]
+        assert any("Exp" in k for k in kinds)
+
+    def test_per_part_dual_variable_mapping(self, cp):
+        from cvxpylayers_tpu.canon.cvxpy_interop import convert_problem
+
+        x = cp.Variable(3)
+        t = cp.Parameter(3)
+        soc = cp.SOC(cp.sum(x), x)
+        prob = cp.Problem(cp.Minimize(cp.sum_squares(x - t)), [soc])
+        native, _, n_vars = convert_problem(
+            prob, [t], [x, soc.dual_variables[0], soc.dual_variables[1]]
+        )
+        nat_con = native.constraints[0]
+        assert n_vars[1] is nat_con.dual_variables[0]
+        assert n_vars[2] is nat_con.dual_variables[1]
+
+
+class TestConformanceViaStub:
+    """The six battery cases, stub-converted, native oracles."""
+
+    def test_lad_regression(self, cp):
+        n, m = 2, 4
+        x = cp.Variable(n)
+        A = cp.Parameter((m, n))
+        b = cp.Parameter(m)
+        prob = cp.Problem(cp.Minimize(cp.norm(A @ x - b, 1)), [x >= 0])
+        layer = CvxpyLayer(prob, parameters=[A, b], variables=[x])
+        Av = rng.standard_normal((m, n))
+        bv = rng.standard_normal(m)
+        (xs,) = layer(jnp.asarray(Av), jnp.asarray(bv))
+        # oracle: the natively-declared twin layer
+        xn = ct.Variable(n)
+        An = ct.Parameter((m, n))
+        bn = ct.Parameter(m)
+        twin = CvxpyLayer(
+            ct.Problem(ct.Minimize(ct.pnorm(An @ xn - bn, 1)), [xn >= 0]),
+            parameters=[An, bn], variables=[xn],
+        )
+        (xt,) = twin(jnp.asarray(Av), jnp.asarray(bv))
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(xt),
+                                   atol=1e-7)
+
+    def test_least_squares_with_gradients(self, cp):
+        n, m = 3, 6
+        beta = cp.Variable(n)
+        X = cp.Parameter((m, n))
+        y = cp.Parameter(m)
+        prob = cp.Problem(cp.Minimize(cp.sum_squares(X @ beta - y)))
+        layer = CvxpyLayer(prob, parameters=[X, y], variables=[beta])
+        Xv = rng.standard_normal((m, n))
+        yv = rng.standard_normal(m)
+        (bs,) = layer(jnp.asarray(Xv), jnp.asarray(yv))
+        ref = np.linalg.lstsq(Xv, yv, rcond=None)[0]
+        np.testing.assert_allclose(np.asarray(bs), ref, atol=1e-6)
+
+        def loss(y_):
+            return jnp.sum(layer(jnp.asarray(Xv), y_)[0] ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(yv))
+        eps = 1e-6
+        for i in range(0, m, 2):
+            e = np.zeros(m)
+            e[i] = eps
+            fd = (float(loss(jnp.asarray(yv + e)))
+                  - float(loss(jnp.asarray(yv - e)))) / (2 * eps)
+            np.testing.assert_allclose(float(g[i]), fd, atol=1e-4)
+
+    def test_simplex_projection_with_eq_dual(self, cp):
+        n = 5
+        x = cp.Variable(n)
+        v = cp.Parameter(n)
+        cons = [cp.sum(x) == 1, x >= 0]
+        prob = cp.Problem(cp.Minimize(cp.sum_squares(x - v)), cons)
+        layer = CvxpyLayer(prob, parameters=[v],
+                           variables=[x, cons[0]])
+        vv = rng.standard_normal(n)
+        xs, nu = layer(jnp.asarray(vv))
+        xs = np.asarray(xs)
+        assert abs(xs.sum() - 1.0) < 1e-6 and xs.min() > -1e-7
+        # KKT: 2(x - v) + nu * 1 - mu = 0 with mu >= 0, mu_i x_i = 0;
+        # on the support, nu = -2(x - v)_i (sign convention modulo)
+        active = xs > 1e-6
+        kkt = 2 * (xs - vv)[active]
+        assert np.allclose(kkt, kkt[0], atol=1e-5)
+        assert abs(np.abs(np.asarray(nu)).reshape(())
+                   - np.abs(kkt[0])) < 1e-4
+
+    def test_logistic_regression_exp_cone(self, cp):
+        nf, ns = 2, 6
+        beta = cp.Variable(nf)
+        Xy = cp.Parameter((ns, nf))
+        prob = cp.Problem(
+            cp.Minimize(
+                cp.sum(cp.logistic(Xy @ beta))
+                + 0.1 * cp.sum_squares(beta)
+            )
+        )
+        layer = CvxpyLayer(prob, parameters=[Xy], variables=[beta])
+        Xv = rng.standard_normal((ns, nf))
+        (bs,) = layer(jnp.asarray(Xv))
+        # oracle: scipy smooth minimization
+        from scipy.optimize import minimize as spmin
+
+        def f(b_):
+            z = Xv @ b_
+            return float(np.logaddexp(0, z).sum() + 0.1 * (b_ @ b_))
+
+        ref = spmin(f, np.zeros(nf), method="BFGS", tol=1e-12).x
+        np.testing.assert_allclose(np.asarray(bs), ref, atol=1e-5)
+
+    def test_sdp_trace_objective(self, cp):
+        s = 3
+        X = cp.Variable((s, s), symmetric=True)
+        C = cp.Parameter((s, s))
+        prob = cp.Problem(
+            cp.Minimize(cp.trace(C @ X)),
+            [cp.trace(X) == 1, X >> 0],
+        )
+        layer = CvxpyLayer(prob, parameters=[C], variables=[X])
+        Cv = rng.standard_normal((s, s))
+        Cv = (Cv + Cv.T) / 2
+        (Xs,) = layer(jnp.asarray(Cv))
+        w = np.linalg.eigvalsh(Cv)
+        np.testing.assert_allclose(
+            float(np.trace(Cv @ np.asarray(Xs))), w[0], atol=1e-6
+        )
+
+    def test_socp_norm_constraint(self, cp):
+        n = 4
+        x = cp.Variable(n)
+        v = cp.Parameter(n)
+        prob = cp.Problem(
+            cp.Minimize(cp.sum_squares(x - v)), [cp.norm(x, 2) <= 1.0]
+        )
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        vv = rng.standard_normal(n) * 2
+        (xs,) = layer(jnp.asarray(vv))
+        ref = vv / max(np.linalg.norm(vv), 1.0)
+        np.testing.assert_allclose(np.asarray(xs), ref, atol=1e-6)

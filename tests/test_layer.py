@@ -606,3 +606,100 @@ class TestMatmulPrecision:
         bv = jnp.asarray(r.standard_normal(m), jnp.float32)
         with pytest.raises(ValueError, match="matmul_precision"):
             layer(Av, bv, solver_args={"matmul_precision": "bf16"})
+
+
+class TestSolverArgsBehaviorContract:
+    """solver_args must measurably change solver behavior through the
+    LAYER API — the reference treats this as a contract (loose vs tight
+    eps changes accuracy, max_iters caps iterations;
+    /root/reference/tests/test_torch.py:705-752)."""
+
+    def _layer(self, n=6):
+        x = ct.Variable(n, nonneg=True)
+        t = ct.Parameter(n)
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - t)),
+                          [ct.sum(x) == 1])
+        return CvxpyLayer(prob, parameters=[t], variables=[x])
+
+    def test_eps_monotone_accuracy(self):
+        # KKT residual at the solution responds monotonically to eps
+        # (statuses agree; tighter eps => at least as accurate)
+        layer = self._layer()
+        r = np.random.default_rng(21)
+        tv = jnp.asarray(r.standard_normal(6))
+
+        def kkt_err(eps, refine):
+            (x,), st, _ = layer.solve_with_info(
+                tv, solver_args={"eps": eps, "refine_steps": refine,
+                                 "max_iters": 2000},
+            )
+            assert int(np.asarray(st)) == 0
+            # stationarity on the support: 2(x - t) + nu = 0 with
+            # shared nu; measure spread of the implied multiplier
+            x = np.asarray(x)
+            act = x > 1e-7
+            g = 2 * (x - np.asarray(tv))[act]
+            feas = abs(float(x.sum()) - 1.0)
+            return max(feas, float(np.ptp(g)))
+
+        loose = kkt_err(1e-2, 0)
+        tight = kkt_err(1e-9, 10)
+        assert tight <= loose
+        assert tight < 1e-6  # the tight setting actually delivers
+
+    def test_admm_eps_monotone_iterations(self):
+        # tighter internal ADMM tolerance => strictly more iterations
+        # (epoch-quantized), through the layer API
+        layer = self._layer()
+        r = np.random.default_rng(22)
+        tv = jnp.asarray(r.standard_normal(6))
+
+        def iters(admm_eps):
+            _, st, it = layer.solve_with_info(
+                tv, solver_args={"eps": 1e-6, "refine_steps": 8,
+                                 "admm_eps_abs": admm_eps,
+                                 "admm_eps_rel": admm_eps,
+                                 "epoch": 10, "max_iters": 5000},
+            )
+            assert int(np.asarray(st)) == 0
+            return int(np.asarray(it))
+
+        assert iters(1e-8) > iters(1e-2)
+
+    def test_max_iters_caps_and_flags(self):
+        # a starved cap flags MAX_ITERS and reports iters == cap; the
+        # eager API raises (diffcp.SolverError parity)
+        layer = self._layer()
+        r = np.random.default_rng(23)
+        tv = jnp.asarray(r.standard_normal(6))
+        sa = {"eps": 1e-12, "refine_steps": 0, "admm_eps_abs": 1e-14,
+              "admm_eps_rel": 1e-14, "max_iters": 10, "epoch": 10}
+        _, st, it = layer.solve_with_info(tv, solver_args=sa)
+        assert int(np.asarray(st)) == 1
+        assert int(np.asarray(it)) == 10
+        with pytest.raises(SolverError, match="max_iters"):
+            layer(tv, solver_args=sa)
+
+    def test_per_call_overrides_constructor(self):
+        # constructor defaults merge with per-call overrides; the
+        # per-call dict must not be mutated (reference
+        # tests/test_parse_args.py:221-248 regression)
+        x = ct.Variable(3, nonneg=True)
+        t = ct.Parameter(3)
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - t)),
+                          [ct.sum(x) == 1])
+        layer = CvxpyLayer(prob, parameters=[t], variables=[x],
+                           solver_args={"max_iters": 10, "epoch": 10,
+                                        "refine_steps": 0,
+                                        "eps": 1e-12,
+                                        "admm_eps_abs": 1e-14,
+                                        "admm_eps_rel": 1e-14})
+        tv = jnp.asarray(np.random.default_rng(24).standard_normal(3))
+        _, st, _ = layer.solve_with_info(tv)
+        assert int(np.asarray(st)) == 1  # constructor default starves
+        override = {"max_iters": 2000, "refine_steps": 8, "eps": 1e-7,
+                    "admm_eps_abs": 1e-5, "admm_eps_rel": 1e-5}
+        before = dict(override)
+        _, st2, _ = layer.solve_with_info(tv, solver_args=override)
+        assert int(np.asarray(st2)) == 0
+        assert override == before  # caller dict not mutated

@@ -115,6 +115,35 @@ class TestRescueRouting:
         np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(ref),
                                    atol=1e-7)
 
+    def test_max_iters_ranked_above_infeasible(self):
+        # when failures exceed capacity, the budget goes to MAX_ITERS
+        # lanes (rescuable) before infeasible verdicts (which the
+        # accurate route would only re-confirm) — ADVICE r3
+        layer, (n, m_ineq) = box_qp_layer()
+        B = 6
+        vs = rng.standard_normal((B, n))
+        Gs = rng.standard_normal((B, m_ineq, n)) * 0.3
+        hs = np.abs(rng.standard_normal((B, m_ineq))) + 1.0
+        Gs[1] = np.ones((m_ineq, n))
+        hs[1] = -1.0  # lane 1: sum(x) <= -1 with x >= 0 is infeasible
+        params = (jnp.asarray(vs), jnp.asarray(Gs), jnp.asarray(hs))
+        fast = {"eps_abs": 1e-7, "eps_rel": 1e-7, "max_iters": 100,
+                "epoch": 25, "refine_steps": 0}
+        _, st_fast, _ = layer.solve_with_info(*params, solver_args=fast)
+        st_fast = np.asarray(st_fast)
+        assert st_fast[1] == 2  # primal-infeasible certificate fired
+        n_maxit = int((st_fast == 1).sum())
+        assert n_maxit >= 3  # enough MAX_ITERS lanes to exceed capacity
+        cap = 2
+        _, st, _ = solve_with_rescue(
+            layer, *params, solver_args=fast, rescue_args=GOOD,
+            capacity=cap,
+        )
+        st = np.asarray(st)
+        assert st[1] == 2  # infeasible lane untouched (kept its verdict)
+        # exactly `cap` former MAX_ITERS lanes were rescued to SOLVED
+        assert int(((st_fast == 1) & (st == 0)).sum()) == cap
+
     def test_unbatched_call_rejected(self):
         layer, _ = box_qp_layer()
         params = tuple(p[0] for p in qp_batch(1))
