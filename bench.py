@@ -179,11 +179,14 @@ def _build_layers(ct):
     # exactly at eps hands the polish a basin-edge point on the doubly
     # degenerate instances; matmul_precision highest keeps TPU f32 in
     # the same basins as CPU f32.
-    # fast route = the r2 all-ADMM config (10.5k solves/s @ 0.959 on
-    # v5e): ADMM needs ~500 iterations for SOC active-set
-    # identification on this class — 50 starves it (measured solved
-    # 0.52). The ~4% failures (< capacity 48) go to the IPM.
-    fast_args = _tuned_args({"max_iters": 500, "epoch": 100,
+    # fast route: ADMM needs a few hundred iterations for SOC
+    # active-set identification on this class — 50 starves it
+    # (measured solved 0.52) while 500 overpays for lanes the IPM will
+    # rescue anyway. Tuned on v5e (all rows solved 1.0):
+    #   mi=500/cap=48: 7310;  mi=300/cap=48: 8994;
+    #   mi=200/cap=64: 9024;  mi=300/cap=32: 9277  <- this config
+    # vs 4.77k all-IPM (r3) and 10.5k@0.959 all-ADMM (r2).
+    fast_args = _tuned_args({"max_iters": 300, "epoch": 100,
                              "refine_steps": 10})
     rescue_args = _tuned_args({"solve_method": "ipm",
                                "kkt_mode": "spectral",
@@ -191,7 +194,7 @@ def _build_layers(ct):
                                "matmul_precision": "highest"})
     cfgs["markowitz_socp"] = (
         soc, soc_params, fast_args, B,
-        {"rescue": {"args": rescue_args, "capacity": 48}},
+        {"rescue": {"args": rescue_args, "capacity": 32}},
     )
 
     # ---- 4. exp-cone softmax layer with equality dual output
@@ -325,8 +328,16 @@ def _build_layers(ct):
     ot_common = {"assembly": "sparse", "eps_abs": 1e-3, "eps_rel": 1e-3,
                  "admm_eps_abs": 1e-3, "admm_eps_rel": 1e-3,
                  "max_iters": 20000, "epoch": 500, "refine_steps": 10}
+    # pdhg runs its first-order phase to 3e-4 (not 1e-3): one lane of
+    # this batch is borderline at the 1e-3 post-polish contract and
+    # flips with compilation-level f32 rounding (measured 0.875 vs 1.0
+    # across identical runs); the tighter internal target hands the
+    # polish a better warm start at a ~15% cost — 10.8 vs 12.7
+    # solves/s, both ~5x over the ADMM route's 2.6
     cfgs["ot_lp_pdhg"] = (
-        ot, ot_params, dict(ot_common, solve_method="pdhg"), B, {},
+        ot, ot_params,
+        dict(ot_common, solve_method="pdhg", max_iters=40000,
+             admm_eps_abs=3e-4, admm_eps_rel=3e-4), B, {},
     )
     cfgs["ot_lp_admm"] = (ot, ot_params, dict(ot_common), B, {})
 
@@ -360,37 +371,43 @@ def _measure(layer, params, sargs, B, extra=None, windows=5,
             outs, st, _ = layer.solve_with_info(*ps, solver_args=sargs)
             return outs, st
 
-    def loss(*ps):
-        outs, _ = fwd(*ps)
+    def loss(scale, *ps):
+        outs, _ = fwd(*(p * scale for p in ps))
         return sum(jnp.sum(o ** 2) for o in outs)
 
-    step = jax.jit(jax.grad(loss, argnums=tuple(range(len(params)))))
-    # VARY inputs call-to-call: this backend caches results of repeated
-    # identical dispatches (CLAUDE.md microbench trap — observed 300x
-    # inflation on the gp config with a same-input timing loop), so the
-    # loop cycles through slightly-perturbed on-device variants.
-    # Multiplicative 1e-4 perturbations keep sign constraints (gp
-    # positivity) intact and change no instance's difficulty class.
-    variants = [
-        tuple(p * (1.0 + d) for p in params)
-        for d in (0.0, 1e-4, -1e-4)
-    ]
-    for v in variants:
-        jax.block_until_ready(v)
-    g = step(*variants[0])
+    # VARY inputs on EVERY call: this backend caches results of
+    # repeated identical dispatches (CLAUDE.md microbench trap —
+    # observed 300x inflation on the gp config, and a 3-variant
+    # rotation was STILL served from cache on a later config: the
+    # cache holds more than 3 entries). A per-call unique scale
+    # scalar folded into the jitted step makes every dispatch's input
+    # set distinct at the cost of one elementwise multiply.
+    # Multiplicative ~1e-4-per-call perturbations keep sign
+    # constraints (gp positivity) intact and change no instance's
+    # difficulty class.
+    dtype = params[0].dtype
+    step = jax.jit(
+        jax.grad(loss, argnums=tuple(range(1, len(params) + 1)))
+    )
+    counter = [0]
+
+    def call():
+        counter[0] += 1
+        s = jnp.asarray(1.0 + 1e-4 * counter[0], dtype)
+        return step(s, *params)
+
+    g = call()
     jax.block_until_ready(g)  # compile + first run
     t0 = time.perf_counter()
-    g = step(*variants[1])
+    g = call()
     jax.block_until_ready(g)
     dt1 = time.perf_counter() - t0
     iters = max(1, min(20, int(round(target_window_s / max(dt1, 1e-4)))))
     thrs = []
-    k = 0
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
-            g = step(*variants[k % len(variants)])
-            k += 1
+            g = call()
         jax.block_until_ready(g)
         thrs.append(B * iters / (time.perf_counter() - t0))
     thrs.sort()
@@ -450,13 +467,15 @@ def _kkt_microbench(ct, B=1024, n=50, m=121):
     x = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((B, m)), jnp.float32)
     rhs = jnp.asarray(rng.standard_normal((B, n + m)), jnp.float32)
-    f = jax.jit(jax.vmap(lambda x_, w_, P_, q_, A_, b_, r_: solve(
-        x_, w_, P_, q_, A_, b_, r_)))
-    out = f(x, w, P, q, A, b, rhs)
+    # per-call unique rhs scale — same result-caching defense as
+    # _measure (the solve is linear in rhs, so difficulty is unchanged)
+    f = jax.jit(lambda s, x_, w_, P_, q_, A_, b_, r_: jax.vmap(solve)(
+        x_, w_, P_, q_, A_, b_, r_ * s))
+    out = f(jnp.float32(1.0), x, w, P, q, A, b, rhs)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(10):
-        out = f(x, w, P, q, A, b, rhs)
+    for i in range(10):
+        out = f(jnp.float32(1.0 + 1e-4 * i), x, w, P, q, A, b, rhs)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / 10 / B * 1e6
 

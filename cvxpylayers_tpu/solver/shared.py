@@ -114,6 +114,18 @@ def make_shared_admm_solver(dims: ConeDims, n: int,
     proj_K_b = jax.vmap(proj_K)
 
     def solve(q, b, x0, y0, s0):
+        # ALWAYS full-f32 matmuls in here (measured on v5e, softmax
+        # B=512: solved 1.0 pinned vs 0.02 at the bf16 default). The
+        # vmapped per-instance route survives bf16 because its
+        # per-lane (n,n)@(n,) matvecs lower to full-f32 VPU reductions;
+        # the shared route's whole point is batching them into
+        # (B, m) @ (m, n) MXU matmuls — which take bf16 inputs by
+        # default and floor every iterate at ~1e-3. The pinned matmuls
+        # are a small cost next to the B-fold factorization saving.
+        with jax.default_matmul_precision("highest"):
+            return _solve(q, b, x0, y0, s0)
+
+    def _solve(q, b, x0, y0, s0):
         dtype = q.dtype
         B = q.shape[0]
         P0 = jnp.asarray(np.asarray(P_const), dtype)
