@@ -541,24 +541,33 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
         return jnp.min(jnp.stack(alphas))
 
     def _make_kkt_solve(P, A_eq, A_in, dtype):
-        """Build the per-data KKT solve closure (shared by the
+        """Build the per-data KKT FACTOR closure (shared by the
         primal-dual and HSDE paths — same scaled system, same
-        condensation)."""
+        condensation): kkt_factor(T, Tinv, B) factors ONCE and returns
+        a solve(rx, ry, rz) closure. One IPM iteration solves against
+        the same scaling three times (tau-column / predictor /
+        corrector) — the r3 code re-derived the factorization inside
+        every call and leaned on XLA CSE to dedupe it; the explicit
+        split guarantees one factorization per iteration."""
         dim = n + p_eq + mi
 
-        def kkt_solve(T, Tinv, B, rx, ry, rz_mod):
-            """Solve [[P, Aeq', Ain'], [Aeq, 0, 0], [Ain, 0, -T]] d = -r.
+        def kkt_factor(T, Tinv, B):
+            """Factor [[P, Aeq', Ain'], [Aeq, 0, 0], [Ain, 0, -T]].
 
-            f64: exact dense LU. f32 (TPU): exact condensation —
-            eliminate dz via Tinv, then solve the n x n SPD
-            S = P + sigma I + Ain' Tinv Ain by QR of the stacked factor
-            M = [Lp'; B Ain] (S = M'M, semi-normal equations): computed
-            R is backward-stable in M whose condition is sqrt(cond(S)),
-            so with the trailing iterative-refinement pass the direction
-            error scales with eps*cond(T)^(1/2) instead of eps*cond(T) —
-            the f32 wall moves from cond(T)~1e7 to ~1e14. The full-f32
-            matmul precision matters here: bf16 default inputs would
-            re-floor the condensation."""
+            f64: exact dense LU (factored once, lu_solve per rhs).
+            f32 (TPU): exact condensation — eliminate dz via Tinv, then
+            solve the n x n SPD S = P + sigma I + Ain' Tinv Ain by QR
+            of the stacked factor M = [Lp'; B Ain] (S = M'M,
+            semi-normal equations): computed R is backward-stable in M
+            whose condition is sqrt(cond(S)), so with the trailing
+            iterative-refinement pass the direction error scales with
+            eps*cond(T)^(1/2) instead of eps*cond(T) — the f32 wall
+            moves from cond(T)~1e7 to ~1e14. The full-f32 matmul
+            precision matters here: bf16 default inputs would re-floor
+            the condensation. Above MASKED_MAX_DIM the QR and the
+            triangular inverse use the blocked (MXU-panel) kernels
+            (measured at (128,1002,500) on v5e: QR 46.5 ms blocked vs
+            81.3 custom-call; tri-inverse 14.8 vs 16.7)."""
             if dtype == jnp.float64:
                 K = jnp.zeros((dim, dim), dtype)
                 K = K.at[:n, :n].set(
@@ -574,79 +583,100 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
                     K = K.at[n + p_eq:, :n].set(A_in)
                     K = K.at[:n, n + p_eq:].set(A_in.T)
                     K = K.at[n + p_eq:, n + p_eq:].set(-T)
-                rhs = jnp.concatenate([-rx, -ry, -rz_mod])
-                sol = jnp.linalg.solve(K, rhs)
-                return sol[:n], sol[n:n + p_eq], sol[n + p_eq:]
+                lu = jax.scipy.linalg.lu_factor(K)
+
+                def solve_f64(rx, ry, rz_mod):
+                    rhs = jnp.concatenate([-rx, -ry, -rz_mod])
+                    sol = jax.scipy.linalg.lu_solve(lu, rhs)
+                    return sol[:n], sol[n:n + p_eq], sol[n + p_eq:]
+
+                return solve_f64
 
             with jax.default_matmul_precision("highest"):
                 eye_n = jnp.eye(n, dtype=dtype)
                 Lp = jnp.linalg.cholesky(P + st.sigma * eye_n)
-                if mi:
-                    from .batched_linalg import house_qr_r, use_masked
+                from .batched_linalg import (
+                    house_qr_r,
+                    qr_r,
+                    tri_inv_blocked,
+                    use_masked,
+                )
 
+                if mi:
                     M = jnp.concatenate([Lp.T, B @ A_in], axis=0)
-                    # masked Householder, not jnp.linalg.qr, at small
-                    # sizes: the QR custom-call was 313 ms of the 534 ms
+                    # masked Householder at small sizes: the QR
+                    # custom-call was 313 ms of the 534 ms
                     # Markowitz-IPM device profile (6.8 ms per batched
-                    # (512,113,51) call, one per iteration); the masked
-                    # loop is the same algorithm without the custom-call
-                    # (R used only via R'R). Above the gate the
-                    # custom-call wins — the loop's sequential
-                    # full-matrix passes are HBM-bound (n=501: 16x
-                    # slower). The blocked-WY variant (batched_linalg.
-                    # qr_r) measured SLOWER end-to-end here (3.8k vs
-                    # 4.1k markowitz, 7.8k vs 8.7k box_qp_ipm) — XLA
-                    # fuses the per-column loop better than the panel
-                    # matmul chain at these shapes.
+                    # (512,113,51) call, one per iteration); the
+                    # masked loop is the same algorithm without the
+                    # custom-call (R used only via R'R). Above the
+                    # gate the per-column loop loses (HBM-bound, n=501
+                    # 16x slower) and the blocked-WY panels win over
+                    # the custom-call (46.5 vs 81.3 ms at
+                    # (128,1002,500), r4-measured). At small sizes the
+                    # blocked-WY measured slower than the per-column
+                    # loop (3.8k vs 4.1k markowitz) — XLA fuses the
+                    # simple loop better there.
                     Rm = (house_qr_r(M) if use_masked(n)
-                          else jnp.linalg.qr(M, mode="r"))
+                          else qr_r(M, panel=128))
                 else:
                     Rm = Lp.T
-                Rmi = jax.scipy.linalg.solve_triangular(
-                    Rm, eye_n, lower=False
-                )
+                if use_masked(n):
+                    Rmi = jax.scipy.linalg.solve_triangular(
+                        Rm, eye_n, lower=False
+                    )
+                else:
+                    Rmi = tri_inv_blocked(Rm, panel=128, lower=False)
                 Sinv = Rmi @ Rmi.T
                 if p_eq:
                     E = (A_eq @ (Sinv @ A_eq.T)
                          + st.sigma * jnp.eye(p_eq, dtype=dtype))
                     Le = jnp.linalg.cholesky(E)
+                else:
+                    Le = None
 
-                def solve_cond(rx_, ry_, rz_):
-                    """One condensed solve of K d = [-rx_, -ry_, -rz_]."""
-                    g = -rx_ - (A_in.T @ (Tinv @ rz_)
-                                if mi else 0.0)
-                    if p_eq:
-                        rhs_y = A_eq @ (Sinv @ g) + ry_
-                        z1 = jax.scipy.linalg.solve_triangular(
-                            Le, rhs_y, lower=True
-                        )
-                        dy_ = jax.scipy.linalg.solve_triangular(
-                            Le, z1, lower=True, trans=1
-                        )
-                        dx_ = Sinv @ (g - A_eq.T @ dy_)
-                    else:
-                        dy_ = jnp.zeros(0, dtype)
-                        dx_ = Sinv @ g
-                    dz_ = (Tinv @ (A_in @ dx_ + rz_) if mi
-                           else jnp.zeros(0, dtype))
-                    return dx_, dy_, dz_
+            def solve_cond(rx_, ry_, rz_):
+                """One condensed solve of K d = [-rx_, -ry_, -rz_]."""
+                g = -rx_ - (A_in.T @ (Tinv @ rz_)
+                            if mi else 0.0)
+                if p_eq:
+                    rhs_y = A_eq @ (Sinv @ g) + ry_
+                    z1 = jax.scipy.linalg.solve_triangular(
+                        Le, rhs_y, lower=True
+                    )
+                    dy_ = jax.scipy.linalg.solve_triangular(
+                        Le, z1, lower=True, trans=1
+                    )
+                    dx_ = Sinv @ (g - A_eq.T @ dy_)
+                else:
+                    dy_ = jnp.zeros(0, dtype)
+                    dx_ = Sinv @ g
+                dz_ = (Tinv @ (A_in @ dx_ + rz_) if mi
+                       else jnp.zeros(0, dtype))
+                return dx_, dy_, dz_
 
-                dx, dy, dz = solve_cond(rx, ry, rz_mod)
-                # one iterative-refinement pass with the cached factors:
-                # near an active SOC boundary T spans mu..1/mu and a
-                # single f32 condensation stalls ~1e-5 short; the
-                # correction squares the effective precision
-                res_x = rx + (P + st.sigma * jnp.eye(n, dtype=dtype)) @ dx \
-                    + (A_eq.T @ dy if p_eq else 0.0) \
-                    + (A_in.T @ dz if mi else 0.0)
-                res_y = (ry + A_eq @ dx - st.sigma * dy
-                         if p_eq else jnp.zeros(0, dtype))
-                res_z = (rz_mod + A_in @ dx - T @ dz
-                         if mi else jnp.zeros(0, dtype))
-                cx, cy, cz = solve_cond(res_x, res_y, res_z)
-                return dx + cx, dy + cy, dz + cz
+            def solve_f32(rx, ry, rz_mod):
+                with jax.default_matmul_precision("highest"):
+                    dx, dy, dz = solve_cond(rx, ry, rz_mod)
+                    # one iterative-refinement pass with the cached
+                    # factors: near an active SOC boundary T spans
+                    # mu..1/mu and a single f32 condensation stalls
+                    # ~1e-5 short; the correction squares the
+                    # effective precision
+                    res_x = rx \
+                        + (P + st.sigma * jnp.eye(n, dtype=dtype)) @ dx \
+                        + (A_eq.T @ dy if p_eq else 0.0) \
+                        + (A_in.T @ dz if mi else 0.0)
+                    res_y = (ry + A_eq @ dx - st.sigma * dy
+                             if p_eq else jnp.zeros(0, dtype))
+                    res_z = (rz_mod + A_in @ dx - T @ dz
+                             if mi else jnp.zeros(0, dtype))
+                    cx, cy, cz = solve_cond(res_x, res_y, res_z)
+                    return dx + cx, dy + cy, dz + cz
 
-        return kkt_solve
+            return solve_f32
+
+        return kkt_factor
 
     def solve(P, q, A, b, x0, y0, s0):
         dtype = q.dtype
@@ -656,7 +686,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
         b_eq = b[:p_eq]
         A_in = A[p_eq:]
         b_in = b[p_eq:]
-        kkt_solve = _make_kkt_solve(P, A_eq, A_in, dtype)
+        kkt_factor = _make_kkt_solve(P, A_eq, A_in, dtype)
 
         def residuals(x, y, z, s):
             rx = P @ x + q + (A_eq.T @ y if p_eq else 0.0) + (
@@ -710,7 +740,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
             return out
 
         I_mi = jnp.eye(mi, dtype=dtype)
-        x, y, z_hat = kkt_solve(I_mi, I_mi, I_mi, q, -b_eq, -b_in)
+        x, y, z_hat = kkt_factor(I_mi, I_mi, I_mi)(q, -b_eq, -b_in)
         s = _shift_into_cone(-z_hat, e)
         z = _shift_into_cone(z_hat, zint)
         # warm start (data-dependent select, jit/vmap-safe): a nonzero
@@ -778,11 +808,13 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
             x, y, z, s, it, status, stall, best = state
             mu = jnp.maximum(s @ z / degree, _TINY)
             T, Tinv, B = build_T(s, z, mu)
+            ksolve = kkt_factor(T, Tinv, B)  # ONE factorization per
+            # iteration, shared by predictor and corrector
             rx, ry, rz = residuals(x, y, z, s)
 
             # ---- affine (predictor) step
             rc_a = rc_affine(s, z, T)
-            dx_a, dy_a, dz_a = kkt_solve(T, Tinv, B, rx, ry, rz - rc_a)
+            dx_a, dy_a, dz_a = ksolve(rx, ry, rz - rc_a)
             # ds from the third-row residual identity, NOT ds=-(rc+T dz):
             # multiplying dz's f32 error by the ill-conditioned T (norm
             # ~1/mu near an active SOC boundary) threw the primal
@@ -798,7 +830,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
 
             # ---- corrector (centering + Mehrotra second order)
             rc_c = rc_combined(s, z, T, mu, sigma_c, ds_a, dz_a)
-            dx, dy, dz = kkt_solve(T, Tinv, B, rx, ry, rz - rc_c)
+            dx, dy, dz = ksolve(rx, ry, rz - rc_c)
             ds = -(rz + A_in @ dx) if mi else jnp.zeros(0, dtype)
 
             a_p = step_len(s, ds, False)
@@ -917,7 +949,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
         b_eq = b[:p_eq]
         A_in = A[p_eq:]
         b_in = b[p_eq:]
-        kkt_solve = _make_kkt_solve(P, A_eq, A_in, dtype)
+        kkt_factor = _make_kkt_solve(P, A_eq, A_in, dtype)
         deg1 = degree + 1
 
         def g_of(dx, dy, dz):
@@ -969,17 +1001,20 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
                 ((s @ z if mi else 0.0) + tau * kap) / deg1, _TINY
             )
             T, Tinv, B = build_T(s, z, mu)
+            ksolve = kkt_factor(T, Tinv, B)  # ONE factorization per
+            # iteration, shared by the tau-column / predictor /
+            # corrector solves
             rx, ry, rz = embed_residuals(x, y, z, s, tau)
             rt = kap + g_of(x, y, z)
             safe_tau = jnp.maximum(tau, _TINY)
 
             # shared tau-column solve: K d2 = [-q; beq; bin]
-            dx2, dy2, dz2 = kkt_solve(T, Tinv, B, q, -b_eq, -b_in)
+            dx2, dy2, dz2 = ksolve(q, -b_eq, -b_in)
             denom = g_of(dx2, dy2, dz2) - kap / safe_tau
             denom = jnp.where(jnp.abs(denom) > _TINY, denom, -_TINY)
 
             def directions(rc, rct):
-                dx1, dy1, dz1 = kkt_solve(T, Tinv, B, rx, ry, rz - rc)
+                dx1, dy1, dz1 = ksolve(rx, ry, rz - rc)
                 dtau = (-rt - g_of(dx1, dy1, dz1) + rct / safe_tau) / denom
                 dx = dx1 + dtau * dx2
                 dy = dy1 + dtau * dy2
