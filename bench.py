@@ -293,11 +293,14 @@ def _build_layers(ct):
     # cap); spectral polish + ipm_eps finish the degenerate tail.
     cfgs["markowitz_large_n500"] = (
         soc_lg, soc_lg_params,
+        # ipm_eps 1e-6 (was 3e-6): one borderline-degenerate lane of
+        # this batch polishes to MAX_ITERS from the 3e-6 handoff point
+        # (0.9922) and solves from the deeper one (1.0, r4-measured)
         _tuned_args({"assembly": "dense", "solve_method": "ipm",
                      "kkt_mode": "spectral", "refine_steps": 15,
-                     "ipm_eps": 3e-6, "matmul_precision": "highest"}),
+                     "ipm_eps": 1e-6, "matmul_precision": "highest"}),
         # the n=500 IPM graph's COLD COMPILE alone exceeds 300 s on
-        # this backend (measured r4); the solve itself is ~5 s/batch
+        # this backend (measured r4); the solve itself is ~4 s/batch
         B, {"timeout": 600.0},
     )
 
