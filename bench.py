@@ -217,10 +217,20 @@ def _build_layers(ct):
     # 0.996, 500 at 0.998, 700 measures 1.0 on v5e (the while_loop
     # exits early for converged batches, so the cost is the straggler
     # tail only: ~8%)
+    # constant-A config: the shared-factor setup/solve split routes
+    # automatically (one factorization per epoch for the whole batch;
+    # +27% over vmapped, r4-measured). 1-2 of 512 lanes are borderline
+    # at eps 1e-4 and flip with compilation-level f32 rounding
+    # (0.996-1.0 across identical runs); a small pinned-precision
+    # deeper-polish rescue makes 1.0 deterministic at ~5% cost
+    # (2761 @ 1.0 vs 2917 @ 0.9961, r4-measured).
+    sm_args = _tuned_args({"max_iters": 700, "epoch": 100,
+                           "refine_steps": 20})
+    sm_rescue = dict(sm_args, matmul_precision="highest",
+                     refine_steps=30)
     cfgs["softmax_duals"] = (
-        sm, sm_params,
-        _tuned_args({"max_iters": 700, "epoch": 100,
-                     "refine_steps": 20}), B, {},
+        sm, sm_params, sm_args, B,
+        {"rescue": {"args": sm_rescue, "capacity": 8}},
     )
 
     # ---- 5. GP path (reference tests/test_torch.py:429-458 problem)
@@ -336,7 +346,14 @@ def _build_layers(ct):
     # flips with compilation-level f32 rounding (measured 0.875 vs 1.0
     # across identical runs); the tighter internal target hands the
     # polish a better warm start at a ~15% cost — 10.8 vs 12.7
-    # solves/s, both ~5x over the ADMM route's 2.6
+    # solves/s, both ~5x over the ADMM route's 2.6. When the lane does
+    # read MAX_ITERS it is a stationarity TIE at a degenerate OT
+    # vertex, not a bad solution: its plan is feasible to 1.3e-4 with
+    # min entry >= 0 (diagnosed r4) — the status is conservative.
+    # Measured negative (r4): rescuing that lane through the ADMM
+    # route solves it but costs the whole advantage (2.35 solves/s —
+    # the 1-lane ADMM sub-solve runs ~3k iterations); recorded here
+    # instead of wired.
     cfgs["ot_lp_pdhg"] = (
         ot, ot_params,
         dict(ot_common, solve_method="pdhg", max_iters=40000,

@@ -124,3 +124,10 @@ def test_example_vehicle_control(capsys):
     runpy.run_path(str(REPO / "examples" / "vehicle_control.py"),
                    run_name="__main__")
     assert "vehicle ADP" in capsys.readouterr().out
+
+
+def test_example_ot_lp_pdhg(capsys):
+    runpy.run_path(str(REPO / "examples" / "ot_lp_pdhg.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "W2 cost" in out
