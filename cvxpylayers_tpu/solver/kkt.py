@@ -311,13 +311,25 @@ def make_kkt_solver(dims: ConeDims, n: int, cg_iters: int = 40,
             sig = 1e-3 * (jnp.trace(P) / n + 1.0)
             Gc = jnp.sqrt(C)[:, None] * G
             M = P + sig * jnp.eye(n, dtype=dtype) + Gc.T @ Gc
-            from .batched_linalg import spd_inv_via_chol, use_masked
+            from .batched_linalg import (
+                spd_inv_via_chol,
+                tri_inv_blocked,
+                use_masked,
+            )
 
-            if dtype == jnp.float64 or not use_masked(n):
+            if dtype == jnp.float64:
                 L = jnp.linalg.cholesky(M)
                 Li = jax.scipy.linalg.solve_triangular(
                     L, jnp.eye(n, dtype=dtype), lower=True
                 )
+                Minv = Li.T @ Li
+            elif not use_masked(n):
+                # large n: chol custom-call is bandwidth-bound and fine
+                # (0.3 ms at (128,500,500), r4-measured) but the
+                # triangular-solve-on-identity is not — the blocked
+                # inverse wins (14.8 vs 16.7 ms)
+                L = jnp.linalg.cholesky(M)
+                Li = tri_inv_blocked(L, panel=128, lower=True)
                 Minv = Li.T @ Li
             else:
                 # masked-loop chol+inverse, not the LAPACK custom-calls:

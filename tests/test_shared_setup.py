@@ -209,6 +209,42 @@ class TestRouteEquivalence:
         assert np.all(np.asarray(st) == 2)
 
 
+class TestRescueOverShared:
+    def test_rescue_composes_with_shared_route(self):
+        # the softmax bench config's shape: fast solve through the
+        # shared-factor route, failed lanes rescued by a deeper-polish
+        # pass — both inside one trace (used by bench softmax_duals)
+        from cvxpylayers_tpu import solve_with_rescue
+
+        layer = softmax_layer()
+        params = (jnp.asarray(rng.standard_normal((8, 6))),)
+        starved = dict(ARGS, shared_setup="on", max_iters=1, epoch=1,
+                       refine_steps=0)
+        good = dict(ARGS, shared_setup="on")
+        outs, st, _ = solve_with_rescue(
+            layer, *params, solver_args=starved, rescue_args=good,
+            capacity=8,
+        )
+        assert np.all(np.asarray(st) == 0)
+        ref, st2, _ = layer.solve_with_info(*params, solver_args=good)
+        np.testing.assert_allclose(np.asarray(outs[0]),
+                                   np.asarray(ref[0]), atol=1e-6)
+
+        def loss(v):
+            o, _, _ = solve_with_rescue(
+                layer, v, solver_args=starved, rescue_args=good,
+                capacity=8,
+            )
+            return jnp.sum(o[0] ** 2)
+
+        g = jax.grad(loss)(*params)
+        g_ref = jax.grad(
+            lambda v: jnp.sum(layer(v, solver_args=good)[0] ** 2)
+        )(*params)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=1e-5)
+
+
 class TestKnob:
     def test_on_rejected_when_parametric_A(self):
         n = 4
