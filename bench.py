@@ -583,7 +583,9 @@ def _kkt_microbench(ct, B=1024, n=50, m=121):
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(10):
-        out = f(jnp.float32(1.0 + 1e-4 * i), x, w, P, q, A, b, rhs)
+        # i+1: scale 1.0 would repeat the warmup call's exact inputs
+        # and hit the result cache on the first timed iteration
+        out = f(jnp.float32(1.0 + 1e-4 * (i + 1)), x, w, P, q, A, b, rhs)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / 10 / B * 1e6
 
@@ -816,6 +818,11 @@ def main():
     results = {}
     solved = {}
     spread = {}
+    contaminated = []  # configs timed AFTER a watchdog timeout: the
+    # abandoned worker thread may still hold the device, so their
+    # numbers violate the benchmark-solo rule (CLAUDE.md) — flagged,
+    # not silently published as clean
+    any_timeout = [False]
     cpu = dict(_FALLBACK_CPU)
 
     def emit(complete=False):
@@ -841,6 +848,7 @@ def main():
             "configs": results,
             "solved_fraction": solved,
             "spread": spread,
+            "contaminated_configs": contaminated,
             "complete": complete,
             "elapsed_s": round(time.perf_counter() - t_start, 1),
             "cpu_baseline": cpu,
@@ -870,12 +878,16 @@ def main():
         )
         if err is not None:
             results[name] = f"error: {type(err).__name__}: {err}"[:200]
+            if isinstance(err, TimeoutError):
+                any_timeout[0] = True
         else:
             results[name] = val["median"]
             solved[name] = val.get("solved")
             spread[name] = [val["min"], val["max"]]
             if "steady_state_iters_mean" in val:
                 results[f"{name}_iters"] = val["steady_state_iters_mean"]
+            if any_timeout[0]:
+                contaminated.append(name)
         print(f"# {name}: {results[name]} (solved {solved.get(name)}, "
               f"spread {spread.get(name)})", file=sys.stderr, flush=True)
         emit()

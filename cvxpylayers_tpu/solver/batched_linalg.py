@@ -214,13 +214,15 @@ def qr_r(M, panel: int = 8):
 
 def chol_blocked(A, panel: int = 64):
     """Right-looking BLOCKED Cholesky of one SPD (n, n) matrix -> lower
-    L, for n above MASKED_MAX_DIM (the n=500 Markowitz class, VERDICT
-    r3 #4): the masked per-column loop runs n sequential full-matrix
-    passes (HBM-bound, measured 16x slower than the custom-call at
-    n=500), and the custom-call is 100-1000x off matmul speed-of-light
-    on this backend — the blocked form keeps the sequential part at
-    panel size (masked loop on (r, r) diagonal blocks) and does the
-    FLOPs-dominant trailing updates as big MXU matmuls:
+    L — UNWIRED (measured-neutral, kept for reference like the pallas
+    kernels): at the n=500 bench shapes the batched cholesky
+    custom-call turned out bandwidth-bound and fine (0.3 ms at
+    (128,500,500), r4-measured — unlike QR/triangular-solve, which DID
+    lose to their blocked replacements and are wired in ipm.py/kkt.py),
+    so no solver path needs this. The blocked form keeps the
+    sequential part at panel size (masked loop on (r, r) diagonal
+    blocks) and does the FLOPs-dominant trailing updates as big MXU
+    matmuls:
 
         L11 = chol_masked(A11)           (r sequential steps, r x r)
         L21 = A21 @ inv(L11)'            ((n-k) x r matmul)

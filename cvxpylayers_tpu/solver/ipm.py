@@ -617,8 +617,11 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
                     # blocked-WY measured slower than the per-column
                     # loop (3.8k vs 4.1k markowitz) — XLA fuses the
                     # simple loop better there.
+                    # panel 64 below n=256: qr_r falls back to the
+                    # per-column loop when n < 2*panel, which is the
+                    # measured-slow choice above MASKED_MAX_DIM
                     Rm = (house_qr_r(M) if use_masked(n)
-                          else qr_r(M, panel=128))
+                          else qr_r(M, panel=(64 if n < 256 else 128)))
                 else:
                     Rm = Lp.T
                 if use_masked(n):
