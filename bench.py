@@ -236,18 +236,22 @@ def _build_layers(ct):
     # tail only: ~8%)
     # constant-A config: the shared-factor setup/solve split routes
     # automatically (one factorization per epoch for the whole batch;
-    # +27% over vmapped, r4-measured). 1-2 of 512 lanes are borderline
-    # at eps 1e-4 and flip with compilation-level f32 rounding
-    # (0.996-1.0 across identical runs); a small pinned-precision
-    # deeper-polish rescue makes 1.0 deterministic at ~5% cost
-    # (2761 @ 1.0 vs 2917 @ 0.9961, r4-measured).
+    # +27% over vmapped, r4-measured), which moved the bottleneck to
+    # the CG-40 polish (73% of the forward, profiled). Late-r4 retune:
+    # the now-cheap ADMM phase identifies faces DEEPER (admm_eps 3e-4)
+    # so the expensive polish needs 14 steps instead of 20 — 3652
+    # solves/s @ solved 1.0 vs 2767 at the r20/1e-3 tuning (+32%).
+    # 9 of 512 lanes need the old deeper-polish route; the rescue
+    # (capacity 16 > 9; 8 measured 0.998) re-solves exactly those.
     sm_args = _tuned_args({"max_iters": 700, "epoch": 100,
-                           "refine_steps": 20})
-    sm_rescue = dict(sm_args, matmul_precision="highest",
-                     refine_steps=30)
+                           "admm_eps_abs": 3e-4, "admm_eps_rel": 3e-4,
+                           "refine_steps": 14})
+    sm_rescue = _tuned_args({"max_iters": 700, "epoch": 100,
+                             "refine_steps": 30,
+                             "matmul_precision": "highest"})
     cfgs["softmax_duals"] = (
         sm, sm_params, sm_args, B,
-        {"rescue": {"args": sm_rescue, "capacity": 8}},
+        {"rescue": {"args": sm_rescue, "capacity": 16}},
     )
 
     # ---- 5. GP path (reference tests/test_torch.py:429-458 problem)
