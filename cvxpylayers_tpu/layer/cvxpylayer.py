@@ -90,6 +90,7 @@ _SOLVER_ARG_KEYS = {
     "acceleration_lookback": ("accel_lookback",),  # SCS-parity alias
     "solve_method": ("solve_method",),
     "ipm_mode": ("ipm_mode",),
+    "ipm_kkt": ("ipm_kkt",),
     "kkt_mode": ("kkt_mode",),
     "derivative": ("derivative",),
     "assembly": ("assembly",),
@@ -181,6 +182,14 @@ def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
                     f"ipm_mode must be 'auto', 'hsde' or 'pd', got {v!r}"
                 )
             kw["ipm_mode"] = mode
+            continue
+        if k == "ipm_kkt":
+            mode = str(v).lower()
+            if mode not in ("auto", "chol", "qr"):
+                raise ValueError(
+                    f"ipm_kkt must be 'auto', 'chol' or 'qr', got {v!r}"
+                )
+            kw["ipm_kkt"] = mode
             continue
         if k == "assembly":
             mode = str(v).lower()

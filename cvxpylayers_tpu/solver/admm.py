@@ -204,7 +204,17 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings):
                 jnp.max(jnp.abs(Px)),
                 jnp.maximum(jnp.max(jnp.abs(Aty)), jnp.max(jnp.abs(q0))),
             )
-            return r_p, p_sc, r_d, d_sc
+            # duality gap (r5): infinity-norm residuals alone pass
+            # far-from-optimal points on large problems (gap = F1'x -
+            # y'F2 scales with |x|_1 |y|_1); convergence requires the
+            # gap at admm_eps too, matching the post-polish certificate
+            xPx = xu @ Px
+            pobj = 0.5 * xPx + q0 @ xu
+            dobj = -0.5 * xPx - (b0 @ y_u if m
+                                 else jnp.asarray(0.0, dtype))
+            gap = jnp.abs(pobj - dobj)
+            g_sc = jnp.maximum(jnp.abs(pobj), jnp.abs(dobj))
+            return r_p, p_sc, r_d, d_sc, gap, g_sc
 
         def inner(carry, _):
             x_, z_, y_, chol, rho = carry
@@ -309,10 +319,11 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings):
                           else run_epoch_plain)(x_, z_, y_, chol, rho)
             it = it + st.epoch
 
-            r_p, p_sc, r_d, d_sc = residuals(x_, z_, y_)
+            r_p, p_sc, r_d, d_sc, gap, g_sc = residuals(x_, z_, y_)
             eps_p = st.admm_eps_abs + st.admm_eps_rel * p_sc
             eps_d = st.admm_eps_abs + st.admm_eps_rel * d_sc
-            converged = (r_p <= eps_p) & (r_d <= eps_d)
+            eps_g = st.admm_eps_abs + st.admm_eps_rel * g_sc
+            converged = (r_p <= eps_p) & (r_d <= eps_d) & (gap <= eps_g)
 
             # ---- infeasibility certificates (unscaled deltas) -------------
             dxu = D * (x_ - x_prev)

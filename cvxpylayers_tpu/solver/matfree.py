@@ -303,7 +303,16 @@ def make_matfree_admm_solver(ops: SparseOps, dims: ConeDims, n: int,
                 jnp.max(jnp.abs(Px)),
                 jnp.maximum(jnp.max(jnp.abs(Aty)), jnp.max(jnp.abs(q0))),
             )
-            return r_p, p_sc, r_d, d_sc
+            # duality gap (r5) — see solver/admm.py residuals: required
+            # for convergence at matfree scale, where infinity-norm
+            # residuals bound nothing
+            xPx = xu @ Px
+            pobj = 0.5 * xPx + q0 @ xu
+            dobj = -0.5 * xPx - (b0 @ y_u if m
+                                 else jnp.asarray(0.0, dtype))
+            gap = jnp.abs(pobj - dobj)
+            g_sc = jnp.maximum(jnp.abs(pobj), jnp.abs(dobj))
+            return r_p, p_sc, r_d, d_sc, gap, g_sc
 
         def M_mv(v, rho):
             Av = ops.A_mv(Ads, v)
@@ -335,10 +344,11 @@ def make_matfree_admm_solver(ops: SparseOps, dims: ConeDims, n: int,
             )
             it = it + st.epoch
 
-            r_p, p_sc, r_d, d_sc = residuals(x_, z_, y_)
+            r_p, p_sc, r_d, d_sc, gap, g_sc = residuals(x_, z_, y_)
             eps_p = st.admm_eps_abs + st.admm_eps_rel * p_sc
             eps_d = st.admm_eps_abs + st.admm_eps_rel * d_sc
-            converged = (r_p <= eps_p) & (r_d <= eps_d)
+            eps_g = st.admm_eps_abs + st.admm_eps_rel * g_sc
+            converged = (r_p <= eps_p) & (r_d <= eps_d) & (gap <= eps_g)
 
             # infeasibility certificates (unscaled deltas), exactly the
             # dense admm's Banjac-et-al tests through SpMVs
@@ -486,7 +496,12 @@ def make_matfree_pdhg_solver(ops: SparseOps, dims: ConeDims, n: int,
             r_d = jnp.max(jnp.abs(q0 + Aty))
             d_sc = jnp.maximum(jnp.max(jnp.abs(Aty)),
                                jnp.max(jnp.abs(q0)))
-            return r_p, p_sc, r_d, d_sc
+            # duality gap (r5, P = 0) — see solver/pdhg.py
+            pobj = q0 @ xu
+            dobj = -(b0 @ yu) if m else jnp.asarray(0.0, dtype)
+            gap = jnp.abs(pobj - dobj)
+            g_sc = jnp.maximum(jnp.abs(pobj), jnp.abs(dobj))
+            return r_p, p_sc, r_d, d_sc, gap, g_sc
 
         def inner(carry, _):
             x_, y_, xa, ya, k = carry
@@ -509,12 +524,14 @@ def make_matfree_pdhg_solver(ops: SparseOps, dims: ConeDims, n: int,
                 None, length=st.epoch,
             )
             it = it + st.epoch
-            r_pl, p_sl, r_dl, d_sl = residuals(x_c, y_c)
-            r_pa, p_sa, r_da, d_sa = residuals(xa, ya)
+            r_pl, p_sl, r_dl, d_sl, gl, g_sl = residuals(x_c, y_c)
+            r_pa, p_sa, r_da, d_sa, ga, g_sa = residuals(xa, ya)
             last_merit = (r_pl / jnp.maximum(p_sl, 1e-12)
-                          + r_dl / jnp.maximum(d_sl, 1e-12))
+                          + r_dl / jnp.maximum(d_sl, 1e-12)
+                          + gl / jnp.maximum(g_sl, 1e-12))
             avg_merit = (r_pa / jnp.maximum(p_sa, 1e-12)
-                         + r_da / jnp.maximum(d_sa, 1e-12))
+                         + r_da / jnp.maximum(d_sa, 1e-12)
+                         + ga / jnp.maximum(g_sa, 1e-12))
             use_avg = avg_merit < last_merit
             x_ = jnp.where(use_avg, xa, x_c)
             y_ = jnp.where(use_avg, ya, y_c)
@@ -522,10 +539,13 @@ def make_matfree_pdhg_solver(ops: SparseOps, dims: ConeDims, n: int,
             p_sc = jnp.where(use_avg, p_sa, p_sl)
             r_d = jnp.where(use_avg, r_da, r_dl)
             d_sc = jnp.where(use_avg, d_sa, d_sl)
+            gap = jnp.where(use_avg, ga, gl)
+            g_sc = jnp.where(use_avg, g_sa, g_sl)
 
             eps_p = st.admm_eps_abs + st.admm_eps_rel * p_sc
             eps_d = st.admm_eps_abs + st.admm_eps_rel * d_sc
-            converged = (r_p <= eps_p) & (r_d <= eps_d)
+            eps_g = st.admm_eps_abs + st.admm_eps_rel * g_sc
+            converged = (r_p <= eps_p) & (r_d <= eps_d) & (gap <= eps_g)
 
             dxu = D * (x_ - x_prev)
             dyu = (E * (y_ - y_prev)) / c
@@ -737,12 +757,13 @@ def make_matfree_polished_solver(ops: SparseOps, dims: ConeDims, n: int,
             x, w = refine_xw(x, w, P_data, q, A_data, b)
             s, y = split(w)
 
-        pobj = 0.5 * x @ ops.P_mv(P_data, x) + q @ x
+        Px = ops.P_mv(P_data, x)
+        xPx = x @ Px
+        pobj = 0.5 * xPx + q @ x
 
         F = residual(x, s - y, P_data, q, A_data, b)
         F1 = F[:n]
         F2 = F[n:]
-        Px = ops.P_mv(P_data, x)
         Aty = ops.A_rmv(A_data, y) if m else jnp.zeros(n, x.dtype)
         Ax = ops.A_mv(A_data, x)
         d_sc = jnp.maximum(
@@ -759,13 +780,20 @@ def make_matfree_polished_solver(ops: SparseOps, dims: ConeDims, n: int,
                 jnp.max(jnp.abs(b)) if m else 0.0,
             ),
         )
+        # duality-gap certificate (r5) — see refine.make_polished_solver:
+        # at 10^3-10^5 variables the infinity-norm residual checks bound
+        # nothing (gap = F1'x - y'F2 scales with |x|_1, |y|_1); SOLVED
+        # requires the gap at eps too
+        dobj = -0.5 * xPx - (b @ y if m else jnp.asarray(0.0, x.dtype))
+        gap = jnp.abs(pobj - dobj)
+        g_sc = jnp.maximum(jnp.abs(pobj), jnp.abs(dobj))
         ok = (
             jnp.max(jnp.abs(F1))
             <= settings.eps_abs + settings.eps_rel * d_sc
         ) & (
             (jnp.max(jnp.abs(F2)) if m else jnp.asarray(0.0, x.dtype))
             <= settings.eps_abs + settings.eps_rel * p_sc
-        )
+        ) & (gap <= settings.eps_abs + settings.eps_rel * g_sc)
         status = jnp.where(
             (res.status == SOLVED) | (res.status == MAX_ITERS),
             jnp.where(ok, SOLVED, MAX_ITERS),

@@ -105,7 +105,14 @@ def make_pdhg_solver(dims: ConeDims, n: int, settings: SolverSettings):
             r_d = jnp.max(jnp.abs(q0 + Aty))
             d_sc = jnp.maximum(jnp.max(jnp.abs(Aty)),
                                jnp.max(jnp.abs(q0)))
-            return r_p, p_sc, r_d, d_sc
+            # duality gap (r5, P = 0): see admm.residuals — required for
+            # convergence so large-LP iterates can't pass on residuals
+            # alone while far from optimal
+            pobj = q0 @ xu
+            dobj = -(b0 @ yu) if m else jnp.asarray(0.0, dtype)
+            gap = jnp.abs(pobj - dobj)
+            g_sc = jnp.maximum(jnp.abs(pobj), jnp.abs(dobj))
+            return r_p, p_sc, r_d, d_sc, gap, g_sc
 
         def inner(carry, _):
             x_, y_, xa, ya, k = carry
@@ -130,12 +137,14 @@ def make_pdhg_solver(dims: ConeDims, n: int, settings: SolverSettings):
             # restart-to-average: keep whichever of {last, average} has
             # the smaller combined residual (raPDHG's restart criterion,
             # evaluated at the epoch boundary)
-            r_pl, p_sl, r_dl, d_sl = residuals(x_c, y_c)
-            r_pa, p_sa, r_da, d_sa = residuals(xa, ya)
+            r_pl, p_sl, r_dl, d_sl, gl, g_sl = residuals(x_c, y_c)
+            r_pa, p_sa, r_da, d_sa, ga, g_sa = residuals(xa, ya)
             last_merit = (r_pl / jnp.maximum(p_sl, 1e-12)
-                          + r_dl / jnp.maximum(d_sl, 1e-12))
+                          + r_dl / jnp.maximum(d_sl, 1e-12)
+                          + gl / jnp.maximum(g_sl, 1e-12))
             avg_merit = (r_pa / jnp.maximum(p_sa, 1e-12)
-                         + r_da / jnp.maximum(d_sa, 1e-12))
+                         + r_da / jnp.maximum(d_sa, 1e-12)
+                         + ga / jnp.maximum(g_sa, 1e-12))
             use_avg = avg_merit < last_merit
             x_ = jnp.where(use_avg, xa, x_c)
             y_ = jnp.where(use_avg, ya, y_c)
@@ -143,10 +152,13 @@ def make_pdhg_solver(dims: ConeDims, n: int, settings: SolverSettings):
             p_sc = jnp.where(use_avg, p_sa, p_sl)
             r_d = jnp.where(use_avg, r_da, r_dl)
             d_sc = jnp.where(use_avg, d_sa, d_sl)
+            gap = jnp.where(use_avg, ga, gl)
+            g_sc = jnp.where(use_avg, g_sa, g_sl)
 
             eps_p = st.admm_eps_abs + st.admm_eps_rel * p_sc
             eps_d = st.admm_eps_abs + st.admm_eps_rel * d_sc
-            converged = (r_p <= eps_p) & (r_d <= eps_d)
+            eps_g = st.admm_eps_abs + st.admm_eps_rel * g_sc
+            converged = (r_p <= eps_p) & (r_d <= eps_d) & (gap <= eps_g)
 
             # infeasibility certificates from the iterate differences
             dxu = D * (x_ - x_prev)

@@ -213,7 +213,8 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
     def solve(P, q, A, b, x0, y0, s0):
         res = base(P, q, A, b, x0, y0, s0)
         x, y, s = refine(res.x, res.y, res.s, P, q, A, b)
-        pobj = 0.5 * x @ (P @ x) + q @ x
+        xPx = x @ (P @ x)
+        pobj = 0.5 * xPx + q @ x
 
         F = residual(x, s - y, P, q, A, b)
         F1 = F[:n]
@@ -232,12 +233,23 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
                 jnp.max(jnp.abs(b)) if m else 0.0,
             ),
         )
+        # duality-gap certificate (r5): small infinity-norm residuals do
+        # NOT bound suboptimality when |x|_1 / |y|_1 are large — gap =
+        # F1'x - y'F2 blows up through them (measured on the 4096-var OT
+        # LP: per-row residuals at eps passed while the objective was
+        # 1.6 above optimum, a near-uniform plan). SOLVED now also
+        # requires the gap at eps, the SCS-style certificate
+        # (reference accuracy-contract framing: cvxpylayers
+        # tests/test_moreau.py:64-83).
+        dobj = -0.5 * xPx - (b @ y if m else jnp.asarray(0.0, x.dtype))
+        gap = jnp.abs(pobj - dobj)
+        g_sc = jnp.maximum(jnp.abs(pobj), jnp.abs(dobj))
         ok = (
             jnp.max(jnp.abs(F1)) <= settings.eps_abs + settings.eps_rel * d_sc
         ) & (
             (jnp.max(jnp.abs(F2)) if m else jnp.asarray(0.0, x.dtype))
             <= settings.eps_abs + settings.eps_rel * p_sc
-        )
+        ) & (gap <= settings.eps_abs + settings.eps_rel * g_sc)
         # keep infeasibility verdicts; otherwise status is the KKT check
         status = jnp.where(
             (res.status == SOLVED) | (res.status == MAX_ITERS),

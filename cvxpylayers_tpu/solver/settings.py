@@ -106,6 +106,15 @@ class SolverSettings:
     # "auto" = on whenever the stuffer detects constant P and A (dense
     # ADMM route only); "on" = error if not detected; "off" = always
     # use the vmapped per-instance route
+    ipm_kkt: str = "auto"        # f32 IPM condensed-KKT factorization at
+    # blocked sizes (n > batched_linalg.MASKED_MAX_DIM): "auto"/"chol" =
+    # Jacobi-scaled Cholesky of the normal matrix M'M (one MXU matmul +
+    # a bandwidth-bound chol; r5 — killed the blocked-QR that was half
+    # the n=500 device time), "qr" = the blocked-WY semi-normal QR of M
+    # (error ~ eps*sqrt(cond) instead of eps*cond — the escape hatch if
+    # a problem's scaled S is too ill-conditioned for chol + the
+    # iterative-refinement pass). Masked (small-n) sizes always use the
+    # per-column Householder loop.
     matmul_precision: str = "default"  # "default" | "high" | "highest":
     # wraps the WHOLE solve in jax.default_matmul_precision. On TPU,
     # f32 matmuls feed the MXU bf16 inputs by default, which perturbs

@@ -193,7 +193,13 @@ def make_shared_admm_solver(dims: ConeDims, n: int,
                 jnp.maximum(jnp.max(jnp.abs(ATY), axis=1),
                             jnp.max(jnp.abs(q), axis=1)),
             )
-            return r_p, p_sc, r_d, d_sc
+            # per-lane duality gap (r5) — see admm.residuals
+            xPx = jnp.sum(Xu * PX, axis=1)
+            pobj = 0.5 * xPx + jnp.sum(q * Xu, axis=1)
+            dobj = -0.5 * xPx - jnp.sum(b * Yu, axis=1)
+            gap = jnp.abs(pobj - dobj)
+            g_sc = jnp.maximum(jnp.abs(pobj), jnp.abs(dobj))
+            return r_p, p_sc, r_d, d_sc, gap, g_sc
 
         def inner(carry, _):
             X_, Z_, Y_, Minv, rho = carry
@@ -221,10 +227,11 @@ def make_shared_admm_solver(dims: ConeDims, n: int,
             it = it + jnp.where(active, st.epoch, 0).astype(jnp.int32)
             k = k + 1
 
-            r_p, p_sc, r_d, d_sc = residuals(X_, Z_, Y_)
+            r_p, p_sc, r_d, d_sc, gap, g_sc = residuals(X_, Z_, Y_)
             eps_p = st.admm_eps_abs + st.admm_eps_rel * p_sc
             eps_d = st.admm_eps_abs + st.admm_eps_rel * d_sc
-            converged = (r_p <= eps_p) & (r_d <= eps_d)
+            eps_g = st.admm_eps_abs + st.admm_eps_rel * g_sc
+            converged = (r_p <= eps_p) & (r_d <= eps_d) & (gap <= eps_g)
 
             # ---- Banjac certificates on the per-lane deltas ----------
             dXu = (X_ - Xp) * D[None, :]

@@ -319,6 +319,41 @@ class TestSparsePdhg:
         obj = float(jnp.sum(plan * Cv))
         assert abs(obj - ref.fun) < 1e-5
 
+    def test_gap_certificate_blocks_vacuous_solves(self):
+        """r5 regression (the r4 ot-bench bug): at a loose eps 1e-3 on
+        a larger OT LP the per-entry plan scale is 1/n^2 and |y|_1 is
+        large, so the infinity-norm KKT residual checks alone certified
+        near-uniform plans whose objective sat ~1.6 ABOVE the optimum
+        (gap = F1'x - y'F2 is unbounded by per-row residuals). With the
+        duality-gap certificate, SOLVED must imply the objective is at
+        eps scale of the linprog optimum — and the gap-aware internal
+        loop must still genuinely reach SOLVED."""
+        from scipy.optimize import linprog
+
+        n_s = n_d = 16
+        layer, (a, b) = self._ot_layer(n_s, n_d)
+        xs = rng.standard_normal(n_s)
+        ys = rng.standard_normal(n_d)
+        Cv = jnp.asarray((xs[:, None] - ys[None, :]) ** 2)
+        Aeq = np.zeros((n_s + n_d, n_s * n_d))
+        for i in range(n_s):
+            Aeq[i, i * n_d:(i + 1) * n_d] = 1.0
+        for j in range(n_d):
+            Aeq[n_s + j, j::n_d] = 1.0
+        ref = linprog(np.asarray(Cv).ravel(), A_eq=Aeq,
+                      b_eq=np.concatenate([a, b]), bounds=(0, None))
+        loose = {"assembly": "sparse", "eps_abs": 1e-3, "eps_rel": 1e-3,
+                 "admm_eps_abs": 3e-4, "admm_eps_rel": 3e-4,
+                 "max_iters": 60000, "epoch": 500, "refine_steps": 10}
+        for sargs in (dict(loose, solve_method="pdhg"), loose):
+            (plan,), st, _ = layer.solve_with_info(Cv, solver_args=sargs)
+            obj = float(jnp.sum(plan * Cv))
+            method = sargs.get("solve_method", "admm")
+            assert int(np.asarray(st)) == 0, method
+            # the certified claim: eps-scale optimality, not the r4
+            # near-uniform plan's ~1.6 error
+            assert abs(obj - ref.fun) < 5e-3, (method, obj, ref.fun)
+
     def test_gradients_match_admm_route(self):
         layer, _ = self._ot_layer()
         Cv = jnp.asarray(np.abs(rng.standard_normal((6, 5))) + 0.1)
