@@ -40,27 +40,38 @@ import jax.numpy as jnp
 from ..solver.settings import MAX_ITERS, SOLVED
 
 
-def solve_with_rescue(layer, *params, rescue_args: dict,
+def solve_with_rescue(layer, *params, rescue_args,
                       solver_args: Optional[dict] = None,
                       capacity: int = 64,
                       warm_start_rescue: bool = False):
     """Solve a batch with `solver_args` (fast route), then re-solve up to
     `capacity` failed lanes with `rescue_args` (accurate route).
 
+    ``rescue_args`` may be a single dict or a LIST of dicts — a tiered
+    rescue ladder (r5): stage k re-solves only the lanes every earlier
+    stage left unsolved. Diverse stages (e.g. an HSDE-IPM first, a
+    primal-dual IPM with the semi-normal QR KKT second) cover each
+    other's failure basins: on knife-edge degenerate instances a single
+    f32 route stalls or converges depending on ULP-level input/
+    compilation rounding, so one route's solved fraction plateaus at
+    ~0.99 while two diverse routes in sequence reach 1.0 (measured on
+    the n=500 Markowitz class, bench.py). Each stage costs one
+    capacity-sized solve only when a lane reaches it (lax.cond skips).
+
     Returns ``(outs, status, iters)`` exactly like
     ``CvxpyLayer.solve_with_info`` — statuses are data; rescued lanes
     carry the rescue solve's status, lanes beyond capacity keep the fast
     route's failure status. jit/vmap(outer)/grad-compatible end to end.
 
-    ``capacity`` is a static trade: the rescue solve always runs on a
+    ``capacity`` is a static trade: each rescue solve always runs on a
     ``capacity``-sized gathered sub-batch (idle lanes re-solve an
     already-solved instance and are masked out of the combine), so pick
     it at a safe multiple of the expected failure count.
 
     ``warm_start_rescue=True`` hands the fast route's (x, y, s) to the
-    rescue solve as a traced WarmStart — useful when the fast route
+    rescue solves as a traced WarmStart — useful when the fast route
     merely ran out of iterations; counterproductive when it converged to
-    the wrong active set (the default keeps the rescue solve cold).
+    the wrong active set (the default keeps the rescue solves cold).
     """
     batch, flags = layer._parse_batch(params)
     if batch is None:
@@ -73,62 +84,70 @@ def solve_with_rescue(layer, *params, rescue_args: dict,
     cap = int(min(capacity, batch))
     if cap <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    stages = (list(rescue_args) if isinstance(rescue_args, (list, tuple))
+              else [rescue_args])
+    if not stages:
+        raise ValueError("rescue_args must name at least one stage")
 
     outs, ws, status, iters = layer.solve_and_state(
         *params, solver_args=solver_args
     )
 
-    bad = status != SOLVED
-    # top_k score ranks MAX_ITERS lanes (the rescuable kind: the fast
-    # route merely didn't finish) above infeasible verdicts (which the
-    # accurate route would only re-confirm), so when failures exceed
-    # capacity the budget goes where it can help; solved lanes pad the
-    # remainder and are masked out of the combine below
-    score = jnp.where(status == MAX_ITERS, 2.0, 0.0) + jnp.where(
-        bad, 1.0, 0.0
-    )
-    _, idx = jax.lax.top_k(score, cap)
-    mask = bad[idx]
+    for stage_args in stages:
+        bad = status != SOLVED
+        # top_k score ranks MAX_ITERS lanes (the rescuable kind: the
+        # fast route merely didn't finish) above infeasible verdicts
+        # (which the accurate route would only re-confirm), so when
+        # failures exceed capacity the budget goes where it can help;
+        # solved lanes pad the remainder and are masked out of the
+        # combine below
+        score = jnp.where(status == MAX_ITERS, 2.0, 0.0) + jnp.where(
+            bad, 1.0, 0.0
+        )
+        _, idx = jax.lax.top_k(score, cap)
+        mask = bad[idx]
 
-    sub_params = tuple(
-        p[idx] if f else p for p, f in zip(params, flags)
-    )
-    r_ws = None
-    if warm_start_rescue:
-        from .cvxpylayer import WarmStart
+        sub_params = tuple(
+            p[idx] if f else p for p, f in zip(params, flags)
+        )
+        r_ws = None
+        if warm_start_rescue:
+            from .cvxpylayer import WarmStart
 
-        r_ws = WarmStart(x=ws.x[idx], y=ws.y[idx], s=ws.s[idx])
+            r_ws = WarmStart(x=ws.x[idx], y=ws.y[idx], s=ws.s[idx])
 
-    def _rescue(sub):
-        return (
-            layer.solve_with_info(*sub, solver_args=rescue_args,
-                                  warm_start=r_ws)
-            if r_ws is not None
-            else layer.solve_with_info(*sub, solver_args=rescue_args)
+        def _rescue(sub, sa=stage_args, rw=r_ws):
+            return (
+                layer.solve_with_info(*sub, solver_args=sa,
+                                      warm_start=rw)
+                if rw is not None
+                else layer.solve_with_info(*sub, solver_args=sa)
+            )
+
+        def _skip(sub, idx=idx):
+            # shapes/dtypes must match the rescue branch: echo the
+            # current values for the gathered lanes (all solved)
+            del sub
+            return (tuple(o[idx] for o in outs), status[idx],
+                    jnp.zeros_like(iters[idx]))
+
+        # a fully-solved batch skips the capacity-sized rescue solve at
+        # runtime (lax.cond executes one branch); gradients still flow —
+        # cond is linearized branch-wise, and the untaken branch's
+        # pullback receives zero cotangents
+        r_outs, r_status, r_iters = jax.lax.cond(
+            jnp.any(bad), _rescue, _skip, sub_params
         )
 
-    def _skip(sub):
-        # shapes/dtypes must match the rescue branch: echo the fast
-        # route's values for the gathered lanes (they are all solved)
-        del sub
-        return (tuple(o[idx] for o in outs), status[idx],
-                jnp.zeros_like(iters[idx]))
+        def _combine(o, ro, idx=idx, mask=mask):
+            m = mask.reshape((cap,) + (1,) * (ro.ndim - 1))
+            return o.at[idx].set(jnp.where(m, ro, o[idx]))
 
-    # a fully-solved batch skips the capacity-sized rescue solve at
-    # runtime (lax.cond executes one branch); gradients still flow —
-    # cond is linearized branch-wise, and the untaken branch's pullback
-    # receives zero cotangents
-    r_outs, r_status, r_iters = jax.lax.cond(
-        jnp.any(bad), _rescue, _skip, sub_params
-    )
-
-    def _combine(o, ro):
-        m = mask.reshape((cap,) + (1,) * (ro.ndim - 1))
-        return o.at[idx].set(jnp.where(m, ro, o[idx]))
-
-    outs_f = tuple(_combine(o, ro) for o, ro in zip(outs, r_outs))
-    status_f = status.at[idx].set(jnp.where(mask, r_status, status[idx]))
-    iters_f = iters.at[idx].set(
-        jnp.where(mask, iters[idx] + r_iters, iters[idx])
-    )
-    return outs_f, status_f, iters_f
+        outs = tuple(_combine(o, ro) for o, ro in zip(outs, r_outs))
+        status = status.at[idx].set(
+            jnp.where(mask, r_status, status[idx])
+        )
+        iters = iters.at[idx].set(
+            jnp.where(mask, iters[idx] + r_iters, iters[idx])
+        )
+    return outs, status, iters

@@ -144,6 +144,24 @@ class TestRescueRouting:
         # exactly `cap` former MAX_ITERS lanes were rescued to SOLVED
         assert int(((st_fast == 1) & (st == 0)).sum()) == cap
 
+    def test_rescue_ladder_stages(self):
+        # r5: rescue_args may be a LIST of stages; stage 2 re-solves
+        # only what stage 1 left unsolved. Stage 1 here is as crippled
+        # as the fast route, so only the stage-2 (GOOD) config can
+        # rescue — every lane must still end SOLVED, proving the
+        # second tier executes and combines correctly.
+        layer, _ = box_qp_layer()
+        B = 5
+        params = qp_batch(B)
+        outs, st, _ = solve_with_rescue(
+            layer, *params, solver_args=BAD,
+            rescue_args=[dict(BAD), GOOD], capacity=B,
+        )
+        assert np.all(np.asarray(st) == 0)
+        (ref,) = layer(*params, solver_args=GOOD)
+        np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(ref),
+                                   atol=1e-8)
+
     def test_unbatched_call_rejected(self):
         layer, _ = box_qp_layer()
         params = tuple(p[0] for p in qp_batch(1))
