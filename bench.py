@@ -769,66 +769,90 @@ def cpu_baseline():
 
 def _cpu_baseline_n500(rng, n=500, k=30, n_inst=4):
     """Per-instance CPU denominator for the markowitz_large_n500 class:
-    a dense-KKT primal-dual IPM in scipy f64 (the per-instance
-    Clarabel/ECOS architecture, reference diffcp_if.py:46-70 handing
-    scipy matrices to a native per-instance IPM), forward solve +
-    adjoint. Modeled-threadpool scaling mirrors the n=50 baseline."""
-    import scipy.linalg as sla
+    a SPARSE-KKT barrier IPM in scipy f64 (VERDICT r4 #4 — the honest
+    stand-in for the per-instance Clarabel architecture the reference
+    hands problems to, diffcp_if.py:46-70; a dense-KKT baseline
+    flattered the chip by ~8x). The SOC term is lifted (u = Fw, 31
+    extra vars) so the KKT matrix stays sparse — diagonal nonneg
+    barrier block + one (k+1)^2 dense SOC-barrier block + sparse
+    coupling rows — and each Newton step is one scipy.sparse splu
+    factorization + solve; the adjoint reuses the last factor
+    (one extra solve), exactly like the chip's backward."""
+    import warnings
+
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
 
     def make_instance():
         mu = rng.standard_normal(n) * 0.1
         F = rng.standard_normal((k, n)) / np.sqrt(n)
         return mu, F
 
+    # static sparsity: variables z = [w (n); u (k)]; constraints
+    # sum w = 1 (dual 1) and u - F w = 0 (duals k). Barrier:
+    # -sum log w  - log(0.0625 - u'u), objective -mu'w.
     def solve_one(mu, F):
-        # min -mu'w s.t. sum w = 1, w >= 0, ||F w|| <= 0.25
-        # log-barrier IPM on the inequality part, eliminating the
-        # equality by a null-space basis is overkill — use a simple
-        # primal-dual on the nonneg block with the SOC as a smooth
-        # constraint phi = 0.5(0.0625 - ||Fw||^2) >= 0 barrier term.
         w = np.full(n, 1.0 / n)
+        u = F @ w
         t = 1.0
-        for _ in range(40):
-            Fw = F @ w
-            soc_gap = 0.0625 - Fw @ Fw
-            soc_gap = max(soc_gap, 1e-10)
-            # gradient/hessian of -mu'w + (1/t)(-sum log w - log soc_gap)
-            g = -mu - (1.0 / t) / w + (2.0 / t) * (F.T @ Fw) / soc_gap
-            H_diag = (1.0 / t) / w ** 2
-            FT = F.T @ F
-            H = np.diag(H_diag) + (2.0 / t) * FT / soc_gap \
-                + (4.0 / t) * np.outer(F.T @ Fw, F.T @ Fw) / soc_gap ** 2
-            # KKT with the equality sum w = 1
-            K = np.zeros((n + 1, n + 1))
-            K[:n, :n] = H
-            K[:n, n] = 1.0
-            K[n, :n] = 1.0
-            rhs = np.concatenate([-g, [0.0]])
+        Fs = sp.csr_matrix(F)
+        eye_k = sp.identity(k, format="csr")
+        ones_row = sp.csr_matrix(np.ones((1, n)))
+        lu = None
+        for _ in range(34):
+            soc_gap = max(0.0625 - u @ u, 1e-12)
+            g_w = -mu - (1.0 / t) / w
+            g_u = (2.0 / t) * u / soc_gap
+            H_w = sp.diags((1.0 / t) / w ** 2)
+            H_u = (2.0 / t) * (
+                np.eye(k) / soc_gap
+                + 4.0 * np.outer(u, u) / soc_gap ** 2
+            )
+            # KKT: [[H_w, 0, 1', -F'], [0, H_u, 0, I],
+            #       [1, 0, 0, 0], [-F, I, 0, 0]]
+            K = sp.bmat(
+                [
+                    [H_w, None, ones_row.T, -Fs.T],
+                    [None, sp.csr_matrix(H_u), None, eye_k],
+                    [ones_row, None, None, None],
+                    [-Fs, eye_k, None, None],
+                ],
+                format="csc",
+            )
+            rhs = np.concatenate([-g_w, -g_u, [0.0], np.zeros(k)])
             try:
-                import warnings
-
                 with warnings.catch_warnings():
                     # the final barrier KKT systems are legitimately
-                    # ill-conditioned (t -> 1e8); the solve is still
+                    # ill-conditioned (t -> 1e6); the solve is still
                     # the denominator's work, not an error
                     warnings.simplefilter("ignore")
-                    d = sla.solve(K, rhs, assume_a="sym")
+                    lu = spla.splu(K)
+                    d = lu.solve(rhs)
             except Exception:
                 break
-            dw = d[:n]
-            # fraction-to-boundary step
-            neg = dw < 0
+            dw, du = d[:n], d[n:n + k]
             amax = 1.0
+            neg = dw < 0
             if neg.any():
-                amax = min(1.0, 0.99 * np.min(-w[neg] / dw[neg]))
-            w = w + amax * dw
-            w = np.maximum(w, 1e-12)
-            t = min(t * 1.6, 1e8)
-        # adjoint stand-in: one extra KKT solve (the backward pass cost)
-        try:
-            sla.solve(K, rhs, assume_a="sym")
-        except Exception:
-            pass
+                amax = min(amax, 0.99 * np.min(-w[neg] / dw[neg]))
+            # keep u inside the SOC gap too
+            for _bt in range(30):
+                u_t = u + amax * du
+                if 0.0625 - u_t @ u_t > 0:
+                    break
+                amax *= 0.5
+            w = np.maximum(w + amax * dw, 1e-12)
+            u = u + amax * du
+            # re-project the lift (u must track Fw for feasibility)
+            u = F @ w
+            # gap ~ (n + 2)/t; stop at the bench row's eps 1e-3 contract
+            if (n + 2) / t < 1e-3 * max(abs(mu @ w), 0.1):
+                break
+            t = min(t * 1.9, 1e7)
+        # adjoint: one extra solve against the cached factorization
+        # (the backward pass cost on the chip side)
+        if lu is not None:
+            lu.solve(rhs)
         return w
 
     inst = [make_instance() for _ in range(n_inst)]
@@ -846,8 +870,9 @@ def _cpu_baseline_n500(rng, n=500, k=30, n_inst=4):
         "feasible_spot_check": bool(
             abs(w0.sum() - 1.0) < 1e-6 and w0.min() >= 0
         ),
-        "architecture": "per-instance scipy f64 dense-KKT barrier IPM "
-                        "+ adjoint solve (40 Newton steps)",
+        "architecture": "per-instance scipy f64 SPARSE-KKT (splu) "
+                        "barrier IPM + adjoint solve, SOC lifted; "
+                        "eps 1e-3 stop (same contract as the TPU row)",
     }
 
 
