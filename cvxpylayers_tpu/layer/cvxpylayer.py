@@ -91,6 +91,7 @@ _SOLVER_ARG_KEYS = {
     "solve_method": ("solve_method",),
     "ipm_mode": ("ipm_mode",),
     "ipm_kkt": ("ipm_kkt",),
+    "psd_proj": ("psd_proj",),
     "kkt_mode": ("kkt_mode",),
     "derivative": ("derivative",),
     "assembly": ("assembly",),
@@ -190,6 +191,14 @@ def _settings_from_args(base: SolverSettings, solver_args) -> SolverSettings:
                     f"ipm_kkt must be 'auto', 'chol' or 'qr', got {v!r}"
                 )
             kw["ipm_kkt"] = mode
+            continue
+        if k == "psd_proj":
+            mode = str(v).lower()
+            if mode not in ("auto", "ns", "exact"):
+                raise ValueError(
+                    f"psd_proj must be 'auto', 'ns' or 'exact', got {v!r}"
+                )
+            kw["psd_proj"] = mode
             continue
         if k == "assembly":
             mode = str(v).lower()

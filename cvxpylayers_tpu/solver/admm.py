@@ -135,6 +135,12 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings):
     (dims, n) structure. Fully jit/vmap-compatible."""
     m = dims.total
     proj_K = make_cone_projector(dims)
+    # inner-loop fast path: PSD blocks project via the matmul-only NS
+    # sign approximation (psd_proj='auto'); statuses, certificates and
+    # the polish stay on exact eigh (cones/projections.py r5 note)
+    _fast_psd = ("ns" if settings.psd_proj in ("auto", "ns")
+                 and dims.psd else "exact")
+    proj_K_fast = make_cone_projector(dims, psd_mode=_fast_psd)
     group_ids, n_groups = _cone_row_groups(dims)
     st = settings
 
@@ -142,7 +148,7 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings):
     is_eq_row = _np.arange(m) < dims.zero
 
     def proj_C(u, b):
-        return b - proj_K(b - u)
+        return b - proj_K_fast(b - u)
 
     def factor(P, A, rho):
         """Explicit inverse of M = P + sigma I + A'RA via Cholesky.

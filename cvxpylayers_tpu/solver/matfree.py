@@ -249,6 +249,11 @@ def make_matfree_admm_solver(ops: SparseOps, dims: ConeDims, n: int,
     M = P + sigma I + A' diag(rho) A (matvec-only)."""
     m = dims.total
     proj_K = make_cone_projector(dims)
+    # inner-loop fast PSD path — see solver/admm.py (residual checks
+    # and certificates keep exact eigh)
+    _fast_psd = ("ns" if settings.psd_proj in ("auto", "ns")
+                 and dims.psd else "exact")
+    proj_K_fast = make_cone_projector(dims, psd_mode=_fast_psd)
     # numpy, not jnp: this solver is built lazily, possibly inside a jit
     # trace (see SparseOps) — jnp constants created here would leak
     group_ids, n_groups = _cone_row_groups(dims)
@@ -257,7 +262,7 @@ def make_matfree_admm_solver(ops: SparseOps, dims: ConeDims, n: int,
     is_eq_row = np.arange(m) < dims.zero
 
     def proj_C(u, b):
-        return b - proj_K(b - u)
+        return b - proj_K_fast(b - u)
 
     def solve(P_data, q, A_data, b, x0, y0, s0):
         dtype = q.dtype
@@ -446,11 +451,18 @@ def make_matfree_pdhg_solver(ops: SparseOps, dims: ConeDims, n: int,
     enforces this before routing here)."""
     m = dims.total
     proj_K = make_cone_projector(dims)
+    # inner-loop fast PSD path — see solver/admm.py
+    _fast_psd = ("ns" if settings.psd_proj in ("auto", "ns")
+                 and dims.psd else "exact")
+    proj_K_fast = make_cone_projector(dims, psd_mode=_fast_psd)
     group_ids, n_groups = _cone_row_groups(dims)
     st = settings
 
     def proj_dual(u):
         return u + proj_K(-u)
+
+    def proj_dual_fast(u):
+        return u + proj_K_fast(-u)
 
     def solve(P_data, q, A_data, b, x0, y0, s0):
         dtype = q.dtype
@@ -509,7 +521,7 @@ def make_matfree_pdhg_solver(ops: SparseOps, dims: ConeDims, n: int,
                 qs + (ops.A_rmv(Ads, y_) if m else 0.0)
             )
             xbar = 2.0 * x_n - x_
-            y_n = (proj_dual(y_ + step * (ops.A_mv(Ads, xbar) - bs))
+            y_n = (proj_dual_fast(y_ + step * (ops.A_mv(Ads, xbar) - bs))
                    if m else jnp.zeros(0, dtype))
             kf = k.astype(dtype)
             xa = (kf * xa + x_n) / (kf + 1.0)

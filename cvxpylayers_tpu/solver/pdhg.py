@@ -52,12 +52,20 @@ def make_pdhg_solver(dims: ConeDims, n: int, settings: SolverSettings):
     enforces this; PDHG's x-prox is a gradient step)."""
     m = dims.total
     proj_K = make_cone_projector(dims)
+    # inner-loop fast PSD path — see solver/admm.py (residual checks,
+    # certificates and the final slack recovery keep exact eigh)
+    _fast_psd = ("ns" if settings.psd_proj in ("auto", "ns")
+                 and dims.psd else "exact")
+    proj_K_fast = make_cone_projector(dims, psd_mode=_fast_psd)
     group_ids, n_groups = _cone_row_groups(dims)
     st = settings
 
     def proj_dual(u):
         # Pi_{K*}(u) = u + Pi_K(-u) (Moreau)
         return u + proj_K(-u)
+
+    def proj_dual_fast(u):
+        return u + proj_K_fast(-u)
 
     def solve(P, q, A, b, x0, y0, s0):
         dtype = q.dtype
@@ -118,7 +126,7 @@ def make_pdhg_solver(dims: ConeDims, n: int, settings: SolverSettings):
             x_, y_, xa, ya, k = carry
             x_n = x_ - step * (qs + (As.T @ y_ if m else 0.0))
             xbar = 2.0 * x_n - x_
-            y_n = (proj_dual(y_ + step * (As @ xbar - bs)) if m
+            y_n = (proj_dual_fast(y_ + step * (As @ xbar - bs)) if m
                    else jnp.zeros(0, dtype))
             # running (Halpern) average: restarted each epoch
             kf = k.astype(dtype)

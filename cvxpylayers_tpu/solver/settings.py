@@ -106,6 +106,14 @@ class SolverSettings:
     # "auto" = on whenever the stuffer detects constant P and A (dense
     # ADMM route only); "on" = error if not detected; "off" = always
     # use the vmapped per-instance route
+    psd_proj: str = "auto"       # PSD projection inside FIRST-ORDER inner
+    # loops (ADMM/PDHG iterations only — statuses, infeasibility
+    # certificates and the Newton polish always use exact eigh):
+    # "auto"/"ns" = matmul-only Newton-Schulz sign approximation (the
+    # batched eigh LAPACK custom-call inside the iteration scan is
+    # 15x end-to-end on the 16x16-block SDP bench class, r5-measured);
+    # "exact" = eigh everywhere (the escape hatch if the smoothed
+    # projection parks ADMM outside the polish basin on a problem)
     ipm_kkt: str = "auto"        # f32 IPM condensed-KKT factorization at
     # blocked sizes (n > batched_linalg.MASKED_MAX_DIM): "auto"/"chol" =
     # Jacobi-scaled Cholesky of the normal matrix M'M (one MXU matmul +

@@ -96,6 +96,11 @@ def make_shared_admm_solver(dims: ConeDims, n: int,
     m = dims.total
     assert m > 0, "shared route requires constraints"
     proj_K = make_cone_projector(dims)
+    # inner-loop fast PSD path — see solver/admm.py (statuses and
+    # certificates keep exact eigh)
+    _fast_psd = ("ns" if settings.psd_proj in ("auto", "ns")
+                 and dims.psd else "exact")
+    proj_K_fast = make_cone_projector(dims, psd_mode=_fast_psd)
     group_ids, n_groups = _cone_row_groups(dims)
     st = settings
 
@@ -108,7 +113,7 @@ def make_shared_admm_solver(dims: ConeDims, n: int,
     is_eq_row = np.arange(m) < dims.zero
 
     def proj_C_one(u, b):
-        return b - proj_K(b - u)
+        return b - proj_K_fast(b - u)
 
     proj_C = jax.vmap(proj_C_one)
     proj_K_b = jax.vmap(proj_K)

@@ -227,6 +227,70 @@ class TestPSD:
             )
 
 
+class TestPSDNewtonSchulz:
+    """r5: matmul-only NS-sign PSD projection (the first-order
+    inner-loop fast path; statuses/polish keep exact eigh)."""
+
+    def test_matches_exact_away_from_kernel(self):
+        # accuracy contract: ~1e-2 absolute on O(1)-spectrum blocks,
+        # much better when no eigenvalue is near zero
+        s = 16
+        d = s * (s + 1) // 2
+        for _ in range(5):
+            v = jnp.asarray(rng.standard_normal(d))
+            exact = np.asarray(proj.project_psd_svec(v, s))
+            ns = np.asarray(proj.project_psd_svec_ns(v, s))
+            assert np.abs(exact - ns).max() < 2e-2
+        # well-separated spectrum: error collapses
+        A = np.diag(np.linspace(-3.0, 3.0, s))
+        Q = np.linalg.qr(rng.standard_normal((s, s)))[0]
+        M = Q @ A @ Q.T
+        v = proj.sym_to_svec(jnp.asarray(M))
+        exact = np.asarray(proj.project_psd_svec(v, s))
+        ns = np.asarray(proj.project_psd_svec_ns(v, s))
+        assert np.abs(exact - ns).max() < 1e-5
+
+    def test_projector_mode_plumbing(self):
+        from cvxpylayers_tpu.cones.dims import ConeDims
+
+        dims = ConeDims(zero=1, nonneg=0, soc=(), exp=0, psd=(6,),
+                        pow3=())
+        v = jnp.asarray(rng.standard_normal(1 + 21))
+        p_exact = np.asarray(proj.make_cone_projector(dims)(v))
+        p_ns = np.asarray(
+            proj.make_cone_projector(dims, psd_mode="ns")(v)
+        )
+        # same cone geometry, smoothed boundary
+        assert np.abs(p_exact - p_ns).max() < 2e-2
+        # the zero-cone block is untouched by the psd mode
+        assert p_ns[0] == 0.0
+
+    def test_sdp_layer_ns_vs_exact_inner_loop(self):
+        # end-to-end: psd_proj auto (NS inner loop) and exact must
+        # agree post-polish — accuracy is owned by the exact polish
+        import cvxpylayers_tpu as ct
+
+        s = 6
+        X = ct.Variable((s, s), PSD=True)
+        C = ct.Parameter((s, s))
+        prob = ct.Problem(ct.Minimize(ct.trace(C @ X)),
+                          [ct.trace(X) == 1])
+        layer = ct.CvxpyLayer(prob, parameters=[C], variables=[X])
+        Cv = rng.standard_normal((s, s))
+        Cv = jnp.asarray(0.5 * (Cv + Cv.T))
+        args = {"eps_abs": 1e-6, "eps_rel": 1e-6, "max_iters": 4000,
+                "refine_steps": 10}
+        (X_ns,), st_ns, _ = layer.solve_with_info(Cv, solver_args=args)
+        (X_ex,), st_ex, _ = layer.solve_with_info(
+            Cv, solver_args=dict(args, psd_proj="exact"))
+        assert int(np.asarray(st_ns)) == 0
+        assert int(np.asarray(st_ex)) == 0
+        np.testing.assert_allclose(np.asarray(X_ns), np.asarray(X_ex),
+                                   atol=1e-5)
+        lam_min = float(np.linalg.eigvalsh(np.asarray(Cv))[0])
+        assert abs(float(jnp.sum(X_ns * Cv)) - lam_min) < 1e-5
+
+
 class TestProductCone:
     def test_layout_and_moreau(self):
         dims = cone_dims.ConeDims(
