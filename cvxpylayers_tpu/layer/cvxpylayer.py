@@ -521,7 +521,18 @@ class CvxpyLayer:
         shared = self._shared_solver(settings)
         polish_settings = settings.replace(max_iters=0, scaling_iters=0)
         solver = self._solver(polish_settings)
-        assemble = self._assemble
+        # P and A are parameter-independent here: close over them as
+        # UNBATCHED constants so vmap's matmul batching rule turns every
+        # per-lane (m, n) matvec in the polish + custom_vjp into ONE
+        # shared-operand (B, m) @ (m, n) MXU matmul (r5 — the same
+        # hoisting the shared ADMM phase does, extended to the polish;
+        # softmax bench 3.6k -> see bench.py note. The per-lane
+        # assemble() route hid the sharing from XLA behind B identical
+        # scatters). Precision: the polish CG/residual paths are
+        # always pinned to full f32 (kkt.py), so the bf16
+        # shared-operand trap (CLAUDE.md #4) does not bite.
+        const_P = np.asarray(self.prog.constant_P())
+        const_A = np.asarray(self.prog.constant_A())
 
         def core(p_ext, x0, y0, s0):
             def run():
@@ -530,13 +541,16 @@ class CvxpyLayer:
                 wx = jax.lax.stop_gradient(res.x)
                 wy = jax.lax.stop_gradient(res.y)
                 ws = jax.lax.stop_gradient(res.s)
+                dtype = p_ext.dtype
+                P_c = jnp.asarray(const_P, dtype)
+                A_c = jnp.asarray(const_A, dtype)
 
-                def solve_one(p_row, x0_, y0_, s0_):
-                    P, q, A, b = assemble(p_row)[:4]
-                    return solver(P, q, A, b, x0_, y0_, s0_)
+                def solve_one(q_row, b_row, x0_, y0_, s0_):
+                    return solver(P_c, q_row, A_c, b_row,
+                                  x0_, y0_, s0_)
 
                 x, y, s, st_in, _it = jax.vmap(solve_one)(
-                    p_ext, wx, wy, ws
+                    q_B, b_B, wx, wy, ws
                 )
                 # the polish cannot see infeasibility (it only measures
                 # KKT residuals); the shared phase's certificates win
