@@ -95,7 +95,14 @@ class _Converter:
         if isinstance(node, (cp.Variable, cp.Parameter)):
             return self.leaf(node)
         if isinstance(node, cp.Constant):
-            return Constant(np.asarray(node.value))
+            val = node.value
+            if hasattr(val, "toarray"):
+                # cvxpy Constants routinely hold scipy.sparse matrices
+                # (np.asarray on those yields a useless 0-d object
+                # array); densify — the native canonicalizer keeps its
+                # own fixed-sparsity representation downstream
+                val = val.toarray()
+            return Constant(np.asarray(val))
         if isinstance(node, (int, float, np.ndarray, np.generic)):
             return Constant(np.asarray(node))
 

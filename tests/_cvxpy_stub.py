@@ -116,8 +116,14 @@ class Parameter(Leaf):
 class Constant(Expression):
     def __init__(self, value):
         self.args = []
-        self.value = np.asarray(value)
-        self.shape = self.value.shape
+        # cvxpy Constants may hold scipy.sparse matrices untouched —
+        # keep them AS-IS so the shim's densify path executes
+        if hasattr(value, "toarray"):
+            self.value = value
+            self.shape = tuple(value.shape)
+        else:
+            self.value = np.asarray(value)
+            self.shape = self.value.shape
 
 
 # ---- expression nodes (names MUST match cvxpy's class names: the shim
@@ -198,7 +204,63 @@ class log_sum_exp(Expression):  # noqa: N801
 
 
 class maximum(Expression):  # noqa: N801
+    def __init__(self, *args):
+        # cvxpy calls cp.maximum(a, b, ...): variadic atom-call style
+        if len(args) == 1:
+            args = args[0]
+        super().__init__(list(args) if isinstance(args, (list, tuple))
+                         else [args])
+
+
+class minimum(Expression):  # noqa: N801
+    def __init__(self, *args):
+        if len(args) == 1:
+            args = args[0]
+        super().__init__(list(args) if isinstance(args, (list, tuple))
+                         else [args])
+
+
+class pos(Expression):  # noqa: N801
     pass
+
+
+class neg(Expression):  # noqa: N801
+    pass
+
+
+class exp(Expression):  # noqa: N801
+    pass
+
+
+class log(Expression):  # noqa: N801
+    pass
+
+
+class square(Expression):  # noqa: N801
+    pass
+
+
+class Promote(Expression):
+    """cvxpy's scalar->shape broadcast node (inserted by its own
+    broadcasting rules; constructed explicitly in the stub battery)."""
+
+    def __init__(self, expr, shape):
+        super().__init__([expr])
+        self.shape = tuple(shape)
+
+
+class Hstack(Expression):
+    def __init__(self, *args):
+        if len(args) == 1 and isinstance(args[0], (list, tuple)):
+            args = args[0]
+        super().__init__(list(args))
+
+
+class Vstack(Expression):
+    def __init__(self, *args):
+        if len(args) == 1 and isinstance(args[0], (list, tuple)):
+            args = args[0]
+        super().__init__(list(args))
 
 
 class reshape(Expression):  # noqa: N801
@@ -220,6 +282,22 @@ def norm(expr, p=2, axis=None):
 
 def quad_form(x, P):
     return QuadForm([x, P])
+
+
+def hstack(exprs):
+    return Hstack(list(exprs))
+
+
+def vstack(exprs):
+    return Vstack(list(exprs))
+
+
+def scalene(x, alpha, beta):
+    # cvxpy's scalene is a composition, not a node class:
+    # alpha * pos(x) + beta * neg(x)
+    return multiply([Constant(alpha), pos([x])]) + multiply(
+        [Constant(beta), neg([x])]
+    )
 
 
 # ---- constraints ----

@@ -230,3 +230,106 @@ class TestConformanceViaStub:
         (xs,) = layer(jnp.asarray(vv))
         ref = vv / max(np.linalg.norm(vv), 1.0)
         np.testing.assert_allclose(np.asarray(xs), ref, atol=1e-6)
+
+    # ---- r5 widening (VERDICT r4 #9): battery grows to ten cases ----
+
+    def test_optnet_box_qp_matrix_param_constraint(self, cp):
+        # matrix Parameter INSIDE a constraint (G @ x <= h) — the
+        # OptNet pattern (reference tests/test_torch.py:958-975) —
+        # plus batched-parameter broadcasting through the layer call
+        n, m = 4, 3
+        x = cp.Variable(n)
+        vv = cp.Parameter(n)
+        G = cp.Parameter((m, n))
+        h = cp.Parameter(m)
+        prob = cp.Problem(cp.Minimize(cp.sum_squares(x - vv)),
+                          [G @ x <= h, x >= 0, x <= 1])
+        layer = CvxpyLayer(prob, parameters=[vv, G, h],
+                           variables=[x])
+        B = 3
+        v_b = rng.standard_normal((B, n))
+        G_u = rng.standard_normal((m, n)) * 0.3   # UNBATCHED: broadcast
+        h_b = np.abs(rng.standard_normal((B, m))) + 1.0
+        (xs,) = layer(jnp.asarray(v_b), jnp.asarray(G_u),
+                      jnp.asarray(h_b))
+        assert xs.shape == (B, n)
+        # oracle: scipy per instance
+        from scipy.optimize import minimize as spmin
+
+        for i in range(B):
+            ref = spmin(
+                lambda z: float(((z - v_b[i]) ** 2).sum()),
+                np.clip(v_b[i], 0, 1),
+                constraints=[{"type": "ineq",
+                              "fun": lambda z: h_b[i] - G_u @ z}],
+                bounds=[(0.0, 1.0)] * n, method="SLSQP",
+                options={"ftol": 1e-12},
+            ).x
+            np.testing.assert_allclose(np.asarray(xs[i]), ref,
+                                       atol=1e-4)
+
+    def test_entropy_projection_with_entr(self, cp):
+        # the softmax layer through the shim: max c'y + sum(entr(y))
+        # s.t. sum(y) = 1 — closed form y* = softmax(c)
+        n = 6
+        y = cp.Variable(n, nonneg=True)
+        c = cp.Parameter(n)
+        prob = cp.Problem(
+            cp.Maximize(c @ y + cp.sum(cp.entr(y))),
+            [cp.sum(y) == 1],
+        )
+        layer = CvxpyLayer(prob, parameters=[c], variables=[y])
+        cv = rng.standard_normal(n)
+        (ys,) = layer(jnp.asarray(cv),
+                      solver_args={"eps_abs": 1e-7, "eps_rel": 1e-7})
+        ref = np.exp(cv) / np.exp(cv).sum()
+        np.testing.assert_allclose(np.asarray(ys), ref, atol=1e-5)
+
+    def test_scipy_sparse_constant(self, cp):
+        # cvxpy Constants routinely hold scipy.sparse matrices; the
+        # shim must densify (np.asarray alone yields a 0-d object
+        # array — the r5 fix this case pins)
+        import scipy.sparse as sp
+
+        n = 4
+        x = cp.Variable(n)
+        v = cp.Parameter(n)
+        D = sp.diags([2.0, 1.0, 0.5, 0.25]).tocsr()
+        prob = cp.Problem(
+            cp.Minimize(cp.sum_squares(cp.Constant(D) @ x - v))
+        )
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        vv = rng.standard_normal(n)
+        (xs,) = layer(jnp.asarray(vv))
+        ref = vv / np.array([2.0, 1.0, 0.5, 0.25])
+        np.testing.assert_allclose(np.asarray(xs), ref, atol=1e-6)
+
+    def test_scalene_composition_and_promote(self, cp):
+        # neg/scalene-class composition (cvxpy's scalene = alpha pos +
+        # beta neg) + an explicit Promote broadcast node — asymmetric
+        # (quantile-flavored) regression with a closed-form check via
+        # SLSQP
+        n = 3
+        x = cp.Variable(n)
+        p = cp.Parameter(n)
+        t = cp.Parameter()  # scalar, Promote-broadcast to (n,)
+        resid = x - p
+        obj = (cp.sum(cp.scalene(resid, 2.0, 3.0))
+               + cp.sum_squares(x - cp.Promote(t, (n,))))
+        prob = cp.Problem(cp.Minimize(obj))
+        layer = CvxpyLayer(prob, parameters=[p, t], variables=[x])
+        pv = rng.standard_normal(n)
+        tv = 0.3
+        (xs,) = layer(jnp.asarray(pv), jnp.asarray(tv),
+                      solver_args={"eps_abs": 1e-7, "eps_rel": 1e-7})
+        from scipy.optimize import minimize as spmin
+
+        def f(z):
+            r = z - pv
+            return float(2.0 * np.maximum(r, 0).sum()
+                         + 3.0 * np.maximum(-r, 0).sum()
+                         + ((z - tv) ** 2).sum())
+
+        ref = spmin(f, pv, method="Nelder-Mead",
+                    options={"xatol": 1e-10, "fatol": 1e-12}).x
+        np.testing.assert_allclose(np.asarray(xs), ref, atol=1e-4)
