@@ -203,6 +203,11 @@ def _build_layers(ct):
     #   mi=500/cap=48: 7310;  mi=300/cap=48: 8994;
     #   mi=200/cap=64: 9024;  mi=300/cap=32: 9277  <- this config
     # vs 4.77k all-IPM (r3) and 10.5k@0.959 all-ADMM (r2).
+    # capacity 48 (was 32): the r5 full-bench run observed 30 fast-
+    # route failures — two short of silently dropping below 1.0 on an
+    # unlucky batch (the gap certificate fails a few more borderline
+    # lanes than r4's residual-only check); the bench now also reports
+    # observed failures and warns at >= capacity
     fast_args = _tuned_args({"max_iters": 300, "epoch": 100,
                              "refine_steps": 10})
     rescue_args = _tuned_args({"solve_method": "ipm",
@@ -211,7 +216,7 @@ def _build_layers(ct):
                                "matmul_precision": "highest"})
     cfgs["markowitz_socp"] = (
         soc, soc_params, fast_args, B,
-        {"rescue": {"args": rescue_args, "capacity": 32}},
+        {"rescue": {"args": rescue_args, "capacity": 48}},
     )
 
     # ---- 4. exp-cone softmax layer with equality dual output
@@ -448,14 +453,18 @@ def _build_layers(ct):
     ot_common = {"assembly": "sparse", "eps_abs": 1e-3, "eps_rel": 1e-3,
                  "admm_eps_abs": 1e-3, "admm_eps_rel": 1e-3,
                  "max_iters": 20000, "epoch": 500, "refine_steps": 10}
-    # pdhg internal target 2e-4: the gap-aware loop exits at ~13-17k
-    # iterations with the post-polish certificate met at 1.5-5x margin
-    # (3e-4 measured identical speed with less margin; 1e-3 leaves one
-    # lane at MAX_ITERS honestly)
+    # pdhg internal target 1e-4: the gap-aware loop exits at ~9-19k
+    # iterations with the post-polish certificate met at ~10x margin.
+    # 2e-4 measured 0.875 in one full-bench compilation (a knife-edge
+    # lane's gap stalls just over the 1e-3 threshold and flips with
+    # compilation-level rounding, costing the full 60k-iteration cap);
+    # the deeper target is deterministic-1.0 across eager/grad
+    # compilations and 8 input scales at the SAME throughput (~1.8 —
+    # the stalled lane's cap run was costlier than everyone converging)
     cfgs["ot_lp_pdhg"] = (
         ot, ot_params,
         dict(ot_common, solve_method="pdhg", max_iters=60000,
-             admm_eps_abs=2e-4, admm_eps_rel=2e-4), B, {},
+             admm_eps_abs=1e-4, admm_eps_rel=1e-4), B, {},
     )
     cfgs["ot_lp_admm"] = (ot, ot_params, dict(ot_common), B, {})
 
