@@ -260,9 +260,12 @@ def _build_layers(ct):
     sm_rescue = _tuned_args({"max_iters": 700, "epoch": 100,
                              "refine_steps": 30,
                              "matmul_precision": "highest"})
+    # capacity 24 (was 16): r5 full-bench runs observe 11 fast-route
+    # failures under the gap certificate — 16 left only 1.45x headroom
+    # on the silent-below-1.0 tail risk the bench now flags
     cfgs["softmax_duals"] = (
         sm, sm_params, sm_args, B,
-        {"rescue": {"args": sm_rescue, "capacity": 16}},
+        {"rescue": {"args": sm_rescue, "capacity": 24}},
     )
 
     # ---- 5. GP path (reference tests/test_torch.py:429-458 problem)
