@@ -384,6 +384,11 @@ def _build_layers(ct):
     # vs the eigenvalue oracle 5e-7 (the exact polish owns accuracy).
     # The IPM route measured 68/s @ 0.97 with 0.19 objective errors on
     # the degenerate tail — ADMM+NS+polish owns this class.
+    # refine_steps 5 (was 10): the polish converges superlinearly in
+    # 2-3 steps from the NS-ADMM handoff and each step pays exact-eigh
+    # cone Jacobians — rs10 423 -> rs5 423 -> rs4 460 solves/s all at
+    # identical 5.3e-7 error; rs5 keeps one step of margin (~420).
+    # NS_SIGN_ITERS 18 is load-bearing: 12 collapses solved to 0.89.
     s_sdp = 16
     X_sdp = ct.Variable((s_sdp, s_sdp), PSD=True)
     C_sdp = ct.Parameter((s_sdp, s_sdp))
@@ -401,7 +406,7 @@ def _build_layers(ct):
     cfgs["sdp_trace"] = (
         sdp, sdp_params,
         _tuned_args({"max_iters": 1000, "epoch": 100,
-                     "refine_steps": 10}), B, {},
+                     "refine_steps": 5}), B, {},
     )
 
     # ---- 8. optimal-transport LP through the matrix-free route:

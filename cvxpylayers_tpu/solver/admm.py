@@ -130,9 +130,21 @@ def _ruiz_equilibrate(P, A, q, b, group_ids, n_groups, iters: int):
     return state
 
 
-def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings):
+def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings,
+                     masked_factor: bool = False):
     """Build solve(P, q, A, b, x0, y0, s0) -> SolveResult for fixed
-    (dims, n) structure. Fully jit/vmap-compatible."""
+    (dims, n) structure. Fully jit/vmap-compatible.
+
+    masked_factor: replace the per-epoch cholesky + triangular-solve
+    custom-calls with the masked matmul-only inverse. Only safe when P
+    carries full diagonal curvature (callers pass p_diag_full): with
+    P = 0 the Ruiz-scaled M's conditioning (~5e7 on the Markowitz
+    class) makes BOTH masked variants produce error structures the
+    ADMM iteration cannot absorb (solved 0.09-0.12 measured, Jacobi
+    scaling included, while the LAPACK custom-call's error is
+    tolerated). On the curvature-complete headline class the masked
+    factor removes 5.5 of 27 ms device time per fwd+bwd call
+    (box-QP B=1024: 31.7k -> 35.9k solves/s, r5-profiled)."""
     m = dims.total
     proj_K = make_cone_projector(dims)
     # inner-loop fast path: PSD blocks project via the matmul-only NS
@@ -157,8 +169,19 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings):
         into a single MXU matmul — on TPU, batched triangular solves are
         LAPACK-shaped and slow, while n x n matmuls are the fast path. M is
         SPD and Ruiz-equilibrated, and ADMM tolerates the slight extra
-        rounding (the Newton polish owns final accuracy)."""
+        rounding (the Newton polish owns final accuracy).
+
+        f32 at masked sizes uses the masked-loop inverse instead of the
+        cholesky + 2 triangular-solve custom-calls: the r5 headline
+        profile showed those custom-calls at 5.5 of the 27 ms/call
+        device time (box-QP B=1024 — ONE epoch means the factor is a
+        fifth of the whole fwd+bwd solve)."""
         M = P + st.sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho) @ A
+        if masked_factor and M.dtype != jnp.float64:
+            from .batched_linalg import spd_inv_via_chol, use_masked
+
+            if use_masked(n):
+                return spd_inv_via_chol(M)
         L = jnp.linalg.cholesky(M)
         eye = jnp.eye(n, dtype=P.dtype)
         z_ = jax.scipy.linalg.solve_triangular(L, eye, lower=True)

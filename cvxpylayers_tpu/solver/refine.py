@@ -198,7 +198,10 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
 
     m = dims.total
     if base is None:
-        base = make_admm_solver(dims, n, settings)
+        # masked_factor is gated on full-diagonal P curvature — see
+        # make_admm_solver's docstring for the measured P=0 failure
+        base = make_admm_solver(dims, n, settings,
+                                masked_factor=p_diag_full)
     refine = make_refiner(
         dims, n,
         settings.refine_steps if refine_steps is None else refine_steps,
