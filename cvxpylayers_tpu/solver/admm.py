@@ -181,7 +181,15 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings,
             from .batched_linalg import spd_inv_via_chol, use_masked
 
             if use_masked(n):
-                return spd_inv_via_chol(M)
+                # full-f32 pin (bf16 trap #5, r5): the masked loop's
+                # matmuls take bf16 MXU inputs by default, flooring the
+                # inverse at ~1e-3 relative — warm-started ADMM then
+                # never meets admm_eps internally (mean iters 18 -> 50,
+                # the cap). The LAPACK custom-call it replaces is
+                # internally full-f32; one pinned (n, n) inverse per
+                # epoch costs noise.
+                with jax.default_matmul_precision("highest"):
+                    return spd_inv_via_chol(M)
         L = jnp.linalg.cholesky(M)
         eye = jnp.eye(n, dtype=P.dtype)
         z_ = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
