@@ -421,8 +421,9 @@ def _build_layers(ct):
     # the degenerate tail — ADMM+NS+polish owns this class.
     # refine_steps 5 (was 10): the polish converges superlinearly in
     # 2-3 steps from the NS-ADMM handoff and each step pays exact-eigh
-    # cone Jacobians — rs10 423 -> rs5 423 -> rs4 460 solves/s all at
-    # identical 5.3e-7 error; rs5 keeps one step of margin (~420).
+    # cone Jacobians — rs10 302 / rs6 392 / rs5 423 / rs4 460 solves/s
+    # all at identical 5.3e-7 error; rs5 keeps one step of margin.
+    # Shipped total: 36 (eigh everywhere) -> 423 (11.7x).
     # NS_SIGN_ITERS 18 is load-bearing: 12 collapses solved to 0.89.
     s_sdp = 16
     X_sdp = ct.Variable((s_sdp, s_sdp), PSD=True)

@@ -433,10 +433,13 @@ def project_psd_svec_ns(v: jax.Array, s: int) -> jax.Array:
     Frobenius-normalized block.
 
     ~36 (s, s) matmuls replace one batched eigh LAPACK custom-call —
-    on the v5e backend that is a 15x end-to-end win on the 16x16-block
-    SDP bench class (36 -> 540 fwd+bwd solves/s, r5-measured), because
     the eigh custom-call inside the ADMM scan dominates everything
-    else. The approximation is a SMOOTHED projection (eigenvalues
+    else on the 16x16-block SDP bench class (v5e, r5-measured): the
+    shipped config (NS inner loop + exact-eigh statuses/polish at
+    refine_steps 5) measures 423 fwd+bwd solves/s vs 36 for
+    eigh-everywhere — 11.7x. (An NS-everywhere prototype read 540
+    but certified against the smoothed cone — rejected; the exact
+    polish costs the difference and owns the accuracy contract.) The approximation is a SMOOTHED projection (eigenvalues
     within ~1e-3 of zero relative to ||M|| are soft-thresholded;
     max abs error ~8e-3 on O(1)-spectrum blocks), which first-order
     ADMM iterations absorb — but statuses, certificates and the

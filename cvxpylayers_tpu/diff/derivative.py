@@ -87,7 +87,11 @@ def make_diff_solver(dims: ConeDims, n: int, settings: SolverSettings,
     else:
         base = make_polished_solver(dims, n, settings,
                                     p_diag_full=p_diag_full,
-                                    p_diag_only=p_diag_only)
+                                    p_diag_only=p_diag_only,
+                                    # structural curvature flag from
+                                    # the stuffer, NOT the routing
+                                    # default — see refine.py
+                                    masked_factor=p_diag_full)
     _, jacobian, _ = make_kkt(dims, n)
     kkt_solve = make_kkt_solver(dims, n, cg_iters=settings.cg_iters,
                                 schur_iters=settings.schur_iters,

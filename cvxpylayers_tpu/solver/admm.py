@@ -159,8 +159,8 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings,
     import numpy as _np
     is_eq_row = _np.arange(m) < dims.zero
 
-    def proj_C(u, b):
-        return b - proj_K_fast(b - u)
+    def _proj_C_with(pk, u, b):
+        return b - pk(b - u)
 
     def factor(P, A, rho):
         """Explicit inverse of M = P + sigma I + A'RA via Cholesky.
@@ -200,6 +200,16 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings,
 
     def solve(P, q, A, b, x0, y0, s0):
         dtype = q.dtype
+        # f64 (the accuracy route) keeps exact eigh even in the inner
+        # loop: the NS soft-threshold band (~1e-3 of ||M||) would cap
+        # active-face identification exactly where deep admm_eps
+        # targets are used (r5 review) — the same dtype gate as the
+        # masked factor
+        pk_fast = proj_K if dtype == jnp.float64 else proj_K_fast
+
+        def proj_C(u, b_):
+            return _proj_C_with(pk_fast, u, b_)
+
         P0, A0, q0, b0 = P, A, q, b
 
         Ps, As, qs, bs, D, E, c = _ruiz_equilibrate(

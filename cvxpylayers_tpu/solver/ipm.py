@@ -645,8 +645,29 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
                         S_ = M.T @ M
                         dj = jax.lax.rsqrt(jnp.maximum(
                             jnp.diagonal(S_), 1e-30))
-                        Lc = jnp.linalg.cholesky(
-                            S_ * dj[:, None] * dj[None, :])
+                        # breakdown guard (r5 review): chol error grows
+                        # as eps*cond(S) vs the QR's eps*sqrt — near an
+                        # active SOC boundary cond(T) can push the
+                        # scaled S past f32 chol breakdown (NaN
+                        # factor), and an unguarded NaN poisons every
+                        # later iterate. Guard = select the identity
+                        # factor on a non-finite chol: the direction
+                        # degrades to a Jacobi-preconditioned residual
+                        # step for THAT iteration, which the IPM's
+                        # strict-interior acceptance and stall cutoff
+                        # handle benignly. Measured-zero cost; the two
+                        # alternatives both lost real throughput
+                        # (lax.cond retry: vmap runs both branches,
+                        # 48.8 -> 38.6; an always-on 1e-6 diagonal
+                        # floor: biased directions cost iterations,
+                        # 48.8 -> 36.7). ipm_kkt='qr' remains the
+                        # deep escape hatch.
+                        Ss_ = S_ * dj[:, None] * dj[None, :]
+                        Lc = jnp.linalg.cholesky(Ss_)
+                        ok_ = jnp.all(jnp.isfinite(Lc))
+                        Lc = jnp.where(ok_, jnp.where(
+                            jnp.isfinite(Lc), Lc, 0.0),
+                            jnp.eye(n, dtype=dtype))
                         Rm = (Lc / dj[:, None]).T
                     else:
                         Rm = qr_r(M, panel=(64 if n < 256 else 128))

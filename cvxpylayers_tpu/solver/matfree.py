@@ -261,11 +261,17 @@ def make_matfree_admm_solver(ops: SparseOps, dims: ConeDims, n: int,
 
     is_eq_row = np.arange(m) < dims.zero
 
-    def proj_C(u, b):
-        return b - proj_K_fast(b - u)
+    def _proj_C_with(pk, u, b):
+        return b - pk(b - u)
 
     def solve(P_data, q, A_data, b, x0, y0, s0):
         dtype = q.dtype
+        # f64 keeps exact eigh in the inner loop (see solver/admm.py)
+        pk_fast = proj_K if dtype == jnp.float64 else proj_K_fast
+
+        def proj_C(u, b_):
+            return _proj_C_with(pk_fast, u, b_)
+
         Pd0, Ad0, q0, b0 = P_data, A_data, q, b
 
         Pds, Ads, qs, bs, D, E, c = _ruiz_equilibrate_matfree(
@@ -466,6 +472,9 @@ def make_matfree_pdhg_solver(ops: SparseOps, dims: ConeDims, n: int,
 
     def solve(P_data, q, A_data, b, x0, y0, s0):
         dtype = q.dtype
+        # f64 keeps exact eigh in the inner loop (see solver/admm.py)
+        pd_fast = (proj_dual if dtype == jnp.float64
+                   else proj_dual_fast)
         del s0  # PDHG tracks (x, y); s is recovered at the end
         Ad0, q0, b0 = A_data, q, b
 
@@ -521,7 +530,7 @@ def make_matfree_pdhg_solver(ops: SparseOps, dims: ConeDims, n: int,
                 qs + (ops.A_rmv(Ads, y_) if m else 0.0)
             )
             xbar = 2.0 * x_n - x_
-            y_n = (proj_dual_fast(y_ + step * (ops.A_mv(Ads, xbar) - bs))
+            y_n = (pd_fast(y_ + step * (ops.A_mv(Ads, xbar) - bs))
                    if m else jnp.zeros(0, dtype))
             kf = k.astype(dtype)
             xa = (kf * xa + x_n) / (kf + 1.0)
@@ -538,12 +547,16 @@ def make_matfree_pdhg_solver(ops: SparseOps, dims: ConeDims, n: int,
             it = it + st.epoch
             r_pl, p_sl, r_dl, d_sl, gl, g_sl = residuals(x_c, y_c)
             r_pa, p_sa, r_da, d_sa, ga, g_sa = residuals(xa, ya)
+            # gap scale floored by the residual scales (see
+            # solver/pdhg.py — zero-objective noise guard)
+            g_fl = jnp.maximum(g_sl, jnp.maximum(p_sl, d_sl))
+            g_fa = jnp.maximum(g_sa, jnp.maximum(p_sa, d_sa))
             last_merit = (r_pl / jnp.maximum(p_sl, 1e-12)
                           + r_dl / jnp.maximum(d_sl, 1e-12)
-                          + gl / jnp.maximum(g_sl, 1e-12))
+                          + gl / jnp.maximum(g_fl, 1e-12))
             avg_merit = (r_pa / jnp.maximum(p_sa, 1e-12)
                          + r_da / jnp.maximum(d_sa, 1e-12)
-                         + ga / jnp.maximum(g_sa, 1e-12))
+                         + ga / jnp.maximum(g_fa, 1e-12))
             use_avg = avg_merit < last_merit
             x_ = jnp.where(use_avg, xa, x_c)
             y_ = jnp.where(use_avg, ya, y_c)

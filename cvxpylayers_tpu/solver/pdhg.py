@@ -69,6 +69,9 @@ def make_pdhg_solver(dims: ConeDims, n: int, settings: SolverSettings):
 
     def solve(P, q, A, b, x0, y0, s0):
         dtype = q.dtype
+        # f64 keeps exact eigh in the inner loop (see solver/admm.py)
+        pd_fast = (proj_dual if dtype == jnp.float64
+                   else proj_dual_fast)
         del s0  # PDHG tracks (x, y); s is recovered at the end
         P0, A0, q0, b0 = P, A, q, b
 
@@ -126,7 +129,7 @@ def make_pdhg_solver(dims: ConeDims, n: int, settings: SolverSettings):
             x_, y_, xa, ya, k = carry
             x_n = x_ - step * (qs + (As.T @ y_ if m else 0.0))
             xbar = 2.0 * x_n - x_
-            y_n = (proj_dual_fast(y_ + step * (As @ xbar - bs)) if m
+            y_n = (pd_fast(y_ + step * (As @ xbar - bs)) if m
                    else jnp.zeros(0, dtype))
             # running (Halpern) average: restarted each epoch
             kf = k.astype(dtype)
@@ -147,12 +150,18 @@ def make_pdhg_solver(dims: ConeDims, n: int, settings: SolverSettings):
             # evaluated at the epoch boundary)
             r_pl, p_sl, r_dl, d_sl, gl, g_sl = residuals(x_c, y_c)
             r_pa, p_sa, r_da, d_sa, ga, g_sa = residuals(xa, ya)
+            # gap scale floored by the residual scales: on ~zero-
+            # objective problems g_sc -> 0 and a bare 1e-12 floor
+            # would let objective NOISE dominate the restart choice
+            # (r5 review)
+            g_fl = jnp.maximum(g_sl, jnp.maximum(p_sl, d_sl))
+            g_fa = jnp.maximum(g_sa, jnp.maximum(p_sa, d_sa))
             last_merit = (r_pl / jnp.maximum(p_sl, 1e-12)
                           + r_dl / jnp.maximum(d_sl, 1e-12)
-                          + gl / jnp.maximum(g_sl, 1e-12))
+                          + gl / jnp.maximum(g_fl, 1e-12))
             avg_merit = (r_pa / jnp.maximum(p_sa, 1e-12)
                          + r_da / jnp.maximum(d_sa, 1e-12)
-                         + ga / jnp.maximum(g_sa, 1e-12))
+                         + ga / jnp.maximum(g_fa, 1e-12))
             use_avg = avg_merit < last_merit
             x_ = jnp.where(use_avg, xa, x_c)
             y_ = jnp.where(use_avg, ya, y_c)

@@ -183,7 +183,8 @@ def make_refiner(dims: ConeDims, n: int, steps: int,
 
 def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
                          refine_steps=None, p_diag_full: bool = True,
-                         p_diag_only: bool = False):
+                         p_diag_only: bool = False,
+                         masked_factor: bool = False):
     """base solver + Newton polish, returning a SolveResult (the standard
     forward entry point; diff/derivative.py wraps it with the implicit VJP).
 
@@ -198,10 +199,14 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
 
     m = dims.total
     if base is None:
-        # masked_factor is gated on full-diagonal P curvature — see
-        # make_admm_solver's docstring for the measured P=0 failure
+        # masked_factor must be explicitly asserted by the caller
+        # (make_diff_solver passes the stuffer's p_diag_full) — the
+        # default stays False because p_diag_full's own default is
+        # True for KKT routing, and a bare direct call on a P=0
+        # problem would otherwise engage the factor path measured to
+        # collapse the solve (make_admm_solver docstring)
         base = make_admm_solver(dims, n, settings,
-                                masked_factor=p_diag_full)
+                                masked_factor=masked_factor)
     refine = make_refiner(
         dims, n,
         settings.refine_steps if refine_steps is None else refine_steps,

@@ -112,10 +112,9 @@ def make_shared_admm_solver(dims: ConeDims, n: int,
     pcol_mean = float(np.abs(Ps_np).max(axis=0).mean()) if n else 0.0
     is_eq_row = np.arange(m) < dims.zero
 
-    def proj_C_one(u, b):
-        return b - proj_K_fast(b - u)
-
-    proj_C = jax.vmap(proj_C_one)
+    # f64 keeps exact eigh in the inner loop (see solver/admm.py)
+    proj_C = jax.vmap(lambda u, b: b - proj_K_fast(b - u))
+    proj_C_f64 = jax.vmap(lambda u, b: b - proj_K(b - u))
     proj_K_b = jax.vmap(proj_K)
 
     def solve(q, b, x0, y0, s0):
@@ -132,6 +131,7 @@ def make_shared_admm_solver(dims: ConeDims, n: int,
 
     def _solve(q, b, x0, y0, s0):
         dtype = q.dtype
+        pC = proj_C_f64 if dtype == jnp.float64 else proj_C
         B = q.shape[0]
         P0 = jnp.asarray(np.asarray(P_const), dtype)
         A0 = jnp.asarray(np.asarray(A_const), dtype)
@@ -213,7 +213,7 @@ def make_shared_admm_solver(dims: ConeDims, n: int,
             Zt = Xt @ As.T
             Xn = st.alpha * Xt + (1 - st.alpha) * X_
             W = st.alpha * Zt + (1 - st.alpha) * Z_ + Y_ / rho[None, :]
-            Zn = proj_C(W, bs)
+            Zn = pC(W, bs)
             Yn = rho[None, :] * (W - Zn)
             return (Xn, Zn, Yn, Minv, rho), None
 
