@@ -131,3 +131,9 @@ def test_example_ot_lp_pdhg(capsys):
                    run_name="__main__")
     out = capsys.readouterr().out
     assert "W2 cost" in out
+
+
+def test_example_sdp_spectral_layer(capsys):
+    runpy.run_path(str(REPO / "examples" / "sdp_spectral_layer.py"),
+                   run_name="__main__")
+    assert "final alignment" in capsys.readouterr().out
