@@ -452,6 +452,36 @@ def _build_layers(ct):
                      "refine_steps": 5}), B, {},
     )
 
+    # ---- 7c. PSD scale boundary (r5-measured): at 32x32 the random
+    # spectahedron's rank-1 solution is co-rank-31 degenerate and
+    # first-order methods stall far from optimum (ADMM+NS 0.33 solved
+    # at mi8000, objective error 2.7e-2 — honest statuses; exact-eigh
+    # ADMM no better at 0.32), while the IPM + spectral polish
+    # certifies every lane at 6e-7 objective error. The class boundary
+    # mirrors the Markowitz playbook: degeneracy costs first-order
+    # methods thousands of iterations and the IPM ~15.
+    s32 = 32
+    X32 = ct.Variable((s32, s32), PSD=True)
+    C32 = ct.Parameter((s32, s32))
+    sdp32 = ct.CvxpyLayer(
+        ct.Problem(ct.Minimize(ct.trace(C32 @ X32)),
+                   [ct.trace(X32) == 1]),
+        parameters=[C32], variables=[X32],
+    )
+    B = 128
+    C_raw32 = rng.standard_normal((B, s32, s32))
+    sdp32_params = (
+        jnp.asarray(0.5 * (C_raw32 + np.transpose(C_raw32, (0, 2, 1))),
+                    dtype),
+    )
+    cfgs["sdp_trace_32"] = (
+        sdp32, sdp32_params,
+        _tuned_args({"assembly": "dense", "solve_method": "ipm",
+                     "kkt_mode": "spectral", "refine_steps": 10,
+                     "ipm_eps": 1e-5, "matmul_precision": "highest"}),
+        B, {},
+    )
+
     # ---- 8. optimal-transport LP through the matrix-free route:
     # PDHG vs operator-ADMM at identical eps (VERDICT r3 #5 — give the
     # third algorithm its natural config or record the negative).
