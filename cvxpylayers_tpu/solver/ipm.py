@@ -336,6 +336,48 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
         w1 = (v[1:] - w0 * u1) / jnp.where(jnp.abs(u0) > _TINY, u0, _TINY)
         return jnp.concatenate([w0[None], w1])
 
+    def _bd_width(fam, meta):
+        if fam == "soc":
+            return meta
+        if fam == "psd":
+            return meta * (meta + 1) // 2
+        return 3  # exp / pow
+
+    def bd_mv(Mden, v):
+        """Matvec with a block-diagonal scaling matrix using only its
+        STRUCTURAL blocks — O(l + sum d^2) work instead of mi^2. The
+        dense (mi, mi) storage made `Tinv @ v` a 1002^2 HBM read per
+        application and `B @ A_in` a 35 ms batched (m, m) @ (m, n)
+        matmul per IPM iteration at the n=500 bench shapes
+        (r5-microbenched: every FACTORIZATION piece there is
+        sub-millisecond; the dense scaling products were the real
+        per-iteration cost)."""
+        if mi == 0:
+            return v
+        out = jnp.zeros_like(v)
+        diag = jnp.diagonal(Mden)
+        if l:
+            out = out.at[:l].set(diag[:l] * v[:l])
+        for fam, off, meta in blocks:
+            d = _bd_width(fam, meta)
+            blk = jax.lax.dynamic_slice(Mden, (off, off), (d, d))
+            seg = jax.lax.dynamic_slice(v, (off,), (d,))
+            out = jax.lax.dynamic_update_slice(out, blk @ seg, (off,))
+        return out
+
+    def bd_mm(Mden, X):
+        """Block-diagonal @ (mi, k) matrix — see bd_mv."""
+        out = jnp.zeros_like(X)
+        diag = jnp.diagonal(Mden)
+        if l:
+            out = out.at[:l].set(diag[:l, None] * X[:l])
+        for fam, off, meta in blocks:
+            d = _bd_width(fam, meta)
+            blk = jax.lax.dynamic_slice(Mden, (off, off), (d, d))
+            seg = jax.lax.dynamic_slice(X, (off, 0), (d, X.shape[1]))
+            out = jax.lax.dynamic_update_slice(out, blk @ seg, (off, 0))
+        return out
+
     def build_T(s, z, mu):
         """Block-diagonal scaling T (mi x mi) with T z ~= s on the path,
         its blockwise inverse, and a blockwise inverse square-root factor
@@ -603,7 +645,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
                 )
 
                 if mi:
-                    M = jnp.concatenate([Lp.T, B @ A_in], axis=0)
+                    M = jnp.concatenate([Lp.T, bd_mm(B, A_in)], axis=0)
                     # masked Householder at small sizes: the QR
                     # custom-call was 313 ms of the 534 ms
                     # Markowitz-IPM device profile (6.8 ms per batched
@@ -689,7 +731,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
 
             def solve_cond(rx_, ry_, rz_):
                 """One condensed solve of K d = [-rx_, -ry_, -rz_]."""
-                g = -rx_ - (A_in.T @ (Tinv @ rz_)
+                g = -rx_ - (A_in.T @ bd_mv(Tinv, rz_)
                             if mi else 0.0)
                 if p_eq:
                     rhs_y = A_eq @ (Sinv @ g) + ry_
@@ -703,7 +745,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
                 else:
                     dy_ = jnp.zeros(0, dtype)
                     dx_ = Sinv @ g
-                dz_ = (Tinv @ (A_in @ dx_ + rz_) if mi
+                dz_ = (bd_mv(Tinv, A_in @ dx_ + rz_) if mi
                        else jnp.zeros(0, dtype))
                 return dx_, dy_, dz_
 
@@ -721,7 +763,7 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
                         + (A_in.T @ dz if mi else 0.0)
                     res_y = (ry + A_eq @ dx - st.sigma * dy
                              if p_eq else jnp.zeros(0, dtype))
-                    res_z = (rz_mod + A_in @ dx - T @ dz
+                    res_z = (rz_mod + A_in @ dx - bd_mv(T, dz)
                              if mi else jnp.zeros(0, dtype))
                     cx, cy, cz = solve_cond(res_x, res_y, res_z)
                     return dx + cx, dy + cy, dz + cz
