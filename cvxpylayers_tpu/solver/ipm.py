@@ -336,30 +336,36 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
         w1 = (v[1:] - w0 * u1) / jnp.where(jnp.abs(u0) > _TINY, u0, _TINY)
         return jnp.concatenate([w0[None], w1])
 
-    def _bd_width(fam, meta):
-        if fam == "soc":
-            return meta
-        if fam == "psd":
-            return meta * (meta + 1) // 2
-        return 3  # exp / pow
+    # block widths derived from the layout's OWN offsets (not a second
+    # per-family width mapping that could drift from _block_layout)
+    _bd_widths = [
+        (blocks[i + 1][1] if i + 1 < len(blocks) else mi) - off
+        for i, (_f, off, _m) in enumerate(blocks)
+    ]
+    # structural-apply gate: unrolling a dynamic_slice/matmul/update
+    # triple PER BLOCK into the Mehrotra loop regresses many-small-
+    # block problems (+17% warm runtime at 80 exp cones, r5 review-
+    # measured) while the dense product is cheap there; the structural
+    # path only makes sense when the dense (mi, mi) product is large
+    # and the blocks few (the n=500 class: one SOC block + a big
+    # nonneg diagonal)
+    _bd_structural = mi >= 512 and len(blocks) <= 8
 
     def bd_mv(Mden, v):
-        """Matvec with a block-diagonal scaling matrix using only its
-        STRUCTURAL blocks — O(l + sum d^2) work instead of mi^2. The
-        dense (mi, mi) storage made `Tinv @ v` a 1002^2 HBM read per
-        application and `B @ A_in` a 35 ms batched (m, m) @ (m, n)
-        matmul per IPM iteration at the n=500 bench shapes
-        (r5-microbenched: every FACTORIZATION piece there is
-        sub-millisecond; the dense scaling products were the real
-        per-iteration cost)."""
+        """Matvec with the block-diagonal scaling matrix: structural
+        blocks only when the gate says the dense (mi, mi) product is
+        the expensive side — O(l + sum d^2) work instead of mi^2 HBM
+        reads per application (measured end-to-end NEUTRAL at the
+        n=500 shapes, kept for HBM hygiene; see STATUS r5)."""
         if mi == 0:
             return v
+        if not _bd_structural:
+            return Mden @ v
         out = jnp.zeros_like(v)
         diag = jnp.diagonal(Mden)
         if l:
             out = out.at[:l].set(diag[:l] * v[:l])
-        for fam, off, meta in blocks:
-            d = _bd_width(fam, meta)
+        for (fam, off, meta), d in zip(blocks, _bd_widths):
             blk = jax.lax.dynamic_slice(Mden, (off, off), (d, d))
             seg = jax.lax.dynamic_slice(v, (off,), (d,))
             out = jax.lax.dynamic_update_slice(out, blk @ seg, (off,))
@@ -367,12 +373,13 @@ def make_ipm_solver(dims: ConeDims, n: int, settings: SolverSettings,
 
     def bd_mm(Mden, X):
         """Block-diagonal @ (mi, k) matrix — see bd_mv."""
+        if not _bd_structural:
+            return Mden @ X
         out = jnp.zeros_like(X)
         diag = jnp.diagonal(Mden)
         if l:
             out = out.at[:l].set(diag[:l, None] * X[:l])
-        for fam, off, meta in blocks:
-            d = _bd_width(fam, meta)
+        for (fam, off, meta), d in zip(blocks, _bd_widths):
             blk = jax.lax.dynamic_slice(Mden, (off, off), (d, d))
             seg = jax.lax.dynamic_slice(X, (off, 0), (d, X.shape[1]))
             out = jax.lax.dynamic_update_slice(out, blk @ seg, (off, 0))
