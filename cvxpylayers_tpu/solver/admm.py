@@ -254,8 +254,15 @@ def make_admm_solver(dims: ConeDims, n: int, settings: SolverSettings,
             # duality gap (r5): infinity-norm residuals alone pass
             # far-from-optimal points on large problems (gap = F1'x -
             # y'F2 scales with |x|_1 |y|_1); convergence requires the
-            # gap at admm_eps too, matching the post-polish certificate
-            xPx = xu @ Px
+            # gap at admm_eps too, matching the post-polish
+            # certificate. The P @ xu matmul must be full-f32 (bf16
+            # trap #6, see refine.py): a bf16 xPx reads as a fake
+            # ~1e-3-relative gap that keeps converged loops running to
+            # the iteration cap on TPU. Px above (for r_d/d_sc) can
+            # stay at the default — it feeds scales and an inf-norm,
+            # not a cancellation.
+            with jax.default_matmul_precision("highest"):
+                xPx = xu @ (P0 @ xu)
             pobj = 0.5 * xPx + q0 @ xu
             dobj = -0.5 * xPx - (b0 @ y_u if m
                                  else jnp.asarray(0.0, dtype))

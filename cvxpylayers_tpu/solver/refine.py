@@ -221,7 +221,15 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
     def solve(P, q, A, b, x0, y0, s0):
         res = base(P, q, A, b, x0, y0, s0)
         x, y, s = refine(res.x, res.y, res.s, P, q, A, b)
-        xPx = x @ (P @ x)
+        # bf16 trap #6 (r5): the gap below is |xPx + q'x + b'y| — a
+        # cancellation of O(1) terms down to ~eps-scale. On TPU the
+        # unpinned P @ x takes bf16 MXU inputs, perturbing xPx by
+        # ~1e-3 relative, which reads as a FAKE duality gap: honest
+        # f32 solves with true gap ~1e-7 certified MAX_ITERS (simplex
+        # projection class measured solved 0.28 on TPU vs 1.0 on CPU
+        # f32 with identical solutions). Pin it.
+        with jax.default_matmul_precision("highest"):
+            xPx = x @ (P @ x)
         pobj = 0.5 * xPx + q @ x
 
         F = residual(x, s - y, P, q, A, b)
@@ -248,7 +256,12 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
         # 1.6 above optimum, a near-uniform plan). SOLVED now also
         # requires the gap at eps, the SCS-style certificate
         # (reference accuracy-contract framing: cvxpylayers
-        # tests/test_moreau.py:64-83).
+        # tests/test_moreau.py:64-83). Known f32 limitation (honest
+        # direction): on flat-epigraph classes (sum_largest/huber-style
+        # degenerate aux intervals) the f32 dual can stay ~1e-3 loose
+        # while primal residuals and the solution are tight — those
+        # lanes read MAX_ITERS at eps 1e-4 on every f32 route
+        # (ADMM/IPM/spectral measured) and certify in f64.
         dobj = -0.5 * xPx - (b @ y if m else jnp.asarray(0.0, x.dtype))
         gap = jnp.abs(pobj - dobj)
         g_sc = jnp.maximum(jnp.abs(pobj), jnp.abs(dobj))
