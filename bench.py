@@ -575,6 +575,7 @@ def _measure(layer, params, sargs, B, extra=None, windows=5,
                 layer, *ps, solver_args=sargs,
                 rescue_args=rescue["args"],
                 capacity=rescue["capacity"],
+                warm_start_rescue=rescue.get("warm", False),
             )
             return outs, st
     else:

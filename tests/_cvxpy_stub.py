@@ -26,6 +26,11 @@ class Expression:
     """Operator-overloading node base; subclasses carry cvxpy node
     names. `args` is the only structural attribute the shim reads."""
 
+    # cvxpy semantics: make numpy defer `ndarray @ expr` (and every
+    # other ufunc) to the Expression's reflected operators
+    __array_ufunc__ = None
+    __array_priority__ = 100
+
     def __init__(self, args):
         # accept both atom-call style (cp.sum_squares(expr)) and
         # node-list style (AddExpression([a, b]))
@@ -81,6 +86,10 @@ class Expression:
         if isinstance(other, (int, float)) and other == 0:
             return PSD(self)
         return PSD(self - other)
+
+    def __getitem__(self, key):
+        # cvxpy emits an `index` node holding the raw key
+        return index([self], key)
 
     @property
     def T(self):
@@ -269,6 +278,31 @@ class reshape(Expression):  # noqa: N801
         self.shape = tuple(shape)
 
 
+class index(Expression):  # noqa: N801 — cvxpy name
+    """cvxpy's slicing node; the shim reads ``.key`` verbatim."""
+
+    def __init__(self, args, key):
+        super().__init__(args)
+        self.key = key
+
+
+class huber(Expression):  # noqa: N801
+    def __init__(self, args, M=1.0):
+        super().__init__(args)
+        self.M = M
+
+
+class quad_over_lin(Expression):  # noqa: N801
+    def __init__(self, x, y):
+        super().__init__([x, y])
+
+
+class norm_inf(Expression):  # noqa: N801
+    def __init__(self, args, axis=None):
+        super().__init__(args)
+        self.axis = axis
+
+
 # ---- functional aliases (cvxpy's public API constructs the nodes) ----
 
 
@@ -277,6 +311,9 @@ def sum(expr, axis=None):  # noqa: A001
 
 
 def norm(expr, p=2, axis=None):
+    # cvxpy builds a dedicated norm_inf node for the infinity norm
+    if p in ("inf", float("inf")):
+        return norm_inf([expr], axis=axis)
     return Pnorm([expr], p=p, axis=axis)
 
 

@@ -333,3 +333,102 @@ class TestConformanceViaStub:
         ref = spmin(f, pv, method="Nelder-Mead",
                     options={"xatol": 1e-10, "fatol": 1e-12}).x
         np.testing.assert_allclose(np.asarray(xs), ref, atol=1e-4)
+
+    # ---- late-r5 widening: index / huber / quad_over_lin / norm_inf ----
+
+    def test_index_slicing_constraints(self, cp):
+        # slicing is ubiquitous in the reference corpus (x[0], x[1:3]);
+        # exercises the shim's `index` node path (node.key passthrough)
+        n = 4
+        x = cp.Variable(n)
+        v = cp.Parameter(n)
+        prob = cp.Problem(
+            cp.Minimize(cp.sum_squares(x - v)),
+            [x[0] == x[3], x[1:3] <= 0.5],
+        )
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x])
+        vv = rng.standard_normal(n) + 0.5
+        (xs,) = layer(jnp.asarray(vv),
+                      solver_args={"eps_abs": 1e-8, "eps_rel": 1e-8})
+        from scipy.optimize import minimize as spmin
+
+        ref = spmin(
+            lambda z: float(((z - vv) ** 2).sum()), vv, method="SLSQP",
+            constraints=[
+                {"type": "eq", "fun": lambda z: z[0] - z[3]},
+                {"type": "ineq", "fun": lambda z: 0.5 - z[1:3]},
+            ],
+            options={"ftol": 1e-12},
+        ).x
+        np.testing.assert_allclose(np.asarray(xs), ref, atol=1e-5)
+
+    def test_huber_robust_regression(self, cp):
+        # reference examples use huber robust fitting; M passthrough
+        m, n, M = 6, 3, 0.6
+        A = rng.standard_normal((m, n))
+        x = cp.Variable(n)
+        b = cp.Parameter(m)
+        prob = cp.Problem(
+            cp.Minimize(cp.sum(cp.huber(A @ x - b, M))
+                        + 0.01 * cp.sum_squares(x))
+        )
+        layer = CvxpyLayer(prob, parameters=[b], variables=[x])
+        bv = rng.standard_normal(m) * 2.0
+        (xs,) = layer(jnp.asarray(bv),
+                      solver_args={"eps_abs": 1e-8, "eps_rel": 1e-8})
+        from scipy.optimize import minimize as spmin
+
+        def f(z):
+            r = np.abs(A @ z - bv)
+            h = np.where(r <= M, r ** 2, M * (2 * r - M))
+            return float(h.sum() + 0.01 * (z ** 2).sum())
+
+        ref = spmin(f, np.zeros(n), method="Nelder-Mead",
+                    options={"xatol": 1e-10, "fatol": 1e-13,
+                             "maxiter": 20000}).x
+        np.testing.assert_allclose(np.asarray(xs), ref, atol=1e-4)
+
+    def test_quad_over_lin_closed_form(self, cp):
+        # min qol(x - v, t) + t  s.t. sum(x) = 1, t >= 0.1:
+        # inner min over t gives 2||x - v||, whose simplex-affine
+        # minimizer is the mean-shift projection — closed form
+        n = 4
+        x = cp.Variable(n)
+        t = cp.Variable(nonneg=True)
+        v = cp.Parameter(n)
+        prob = cp.Problem(
+            cp.Minimize(cp.quad_over_lin(x - v, t) + t),
+            [cp.sum(x) == 1, t >= 0.1],
+        )
+        layer = CvxpyLayer(prob, parameters=[v], variables=[x, t])
+        vv = rng.standard_normal(n) + 2.0  # sum(vv) far from 1
+        (xs, ts) = layer(jnp.asarray(vv),
+                         solver_args={"eps_abs": 1e-8, "eps_rel": 1e-8})
+        shift = (1.0 - vv.sum()) / n
+        ref_x = vv + shift
+        ref_t = np.abs(1.0 - vv.sum()) / np.sqrt(n)
+        assert ref_t > 0.1  # the bound is inactive by construction
+        np.testing.assert_allclose(np.asarray(xs), ref_x, atol=1e-5)
+        np.testing.assert_allclose(float(ts), ref_t, atol=1e-5)
+
+    def test_norm_inf_chebyshev(self, cp):
+        # min ||Ax - b||_inf — exercises the dedicated norm_inf node
+        # cvxpy builds for p='inf'; oracle via the LP epigraph form
+        m, n = 5, 2
+        A = rng.standard_normal((m, n))
+        x = cp.Variable(n)
+        b = cp.Parameter(m)
+        prob = cp.Problem(cp.Minimize(cp.norm(A @ x - b, "inf")))
+        layer = CvxpyLayer(prob, parameters=[b], variables=[x])
+        bv = rng.standard_normal(m)
+        (xs,) = layer(jnp.asarray(bv),
+                      solver_args={"eps_abs": 1e-8, "eps_rel": 1e-8})
+        from scipy.optimize import linprog
+
+        c = np.r_[np.zeros(n), 1.0]
+        A_ub = np.block([[A, -np.ones((m, 1))], [-A, -np.ones((m, 1))]])
+        b_ub = np.r_[bv, -bv]
+        lp = linprog(c, A_ub=A_ub, b_ub=b_ub,
+                     bounds=[(None, None)] * (n + 1))
+        obj = float(np.max(np.abs(A @ np.asarray(xs) - bv)))
+        np.testing.assert_allclose(obj, lp.fun, atol=1e-5)
