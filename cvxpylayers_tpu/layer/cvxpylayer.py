@@ -71,6 +71,7 @@ _SOLVER_ARG_KEYS = {
     "eps": ("eps_abs", "eps_rel"),
     "eps_abs": ("eps_abs",),
     "eps_rel": ("eps_rel",),
+    "eps_gap_scale": ("eps_gap_scale",),
     "admm_eps_abs": ("admm_eps_abs",),
     "admm_eps_rel": ("admm_eps_rel",),
     "max_iters": ("max_iters", "ipm_max_iters"),

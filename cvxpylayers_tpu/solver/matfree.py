@@ -358,7 +358,9 @@ def make_matfree_admm_solver(ops: SparseOps, dims: ConeDims, n: int,
             r_p, p_sc, r_d, d_sc, gap, g_sc = residuals(x_, z_, y_)
             eps_p = st.admm_eps_abs + st.admm_eps_rel * p_sc
             eps_d = st.admm_eps_abs + st.admm_eps_rel * d_sc
-            eps_g = st.admm_eps_abs + st.admm_eps_rel * g_sc
+            eps_g = st.eps_gap_scale * (
+                st.admm_eps_abs + st.admm_eps_rel * g_sc
+            )
             converged = (r_p <= eps_p) & (r_d <= eps_d) & (gap <= eps_g)
 
             # infeasibility certificates (unscaled deltas), exactly the
@@ -569,7 +571,9 @@ def make_matfree_pdhg_solver(ops: SparseOps, dims: ConeDims, n: int,
 
             eps_p = st.admm_eps_abs + st.admm_eps_rel * p_sc
             eps_d = st.admm_eps_abs + st.admm_eps_rel * d_sc
-            eps_g = st.admm_eps_abs + st.admm_eps_rel * g_sc
+            eps_g = st.eps_gap_scale * (
+                st.admm_eps_abs + st.admm_eps_rel * g_sc
+            )
             converged = (r_p <= eps_p) & (r_d <= eps_d) & (gap <= eps_g)
 
             dxu = D * (x_ - x_prev)
@@ -818,7 +822,8 @@ def make_matfree_polished_solver(ops: SparseOps, dims: ConeDims, n: int,
         ) & (
             (jnp.max(jnp.abs(F2)) if m else jnp.asarray(0.0, x.dtype))
             <= settings.eps_abs + settings.eps_rel * p_sc
-        ) & (gap <= settings.eps_abs + settings.eps_rel * g_sc)
+        ) & (gap <= settings.eps_gap_scale
+             * (settings.eps_abs + settings.eps_rel * g_sc))
         status = jnp.where(
             (res.status == SOLVED) | (res.status == MAX_ITERS),
             jnp.where(ok, SOLVED, MAX_ITERS),

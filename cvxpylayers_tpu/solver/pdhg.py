@@ -174,7 +174,9 @@ def make_pdhg_solver(dims: ConeDims, n: int, settings: SolverSettings):
 
             eps_p = st.admm_eps_abs + st.admm_eps_rel * p_sc
             eps_d = st.admm_eps_abs + st.admm_eps_rel * d_sc
-            eps_g = st.admm_eps_abs + st.admm_eps_rel * g_sc
+            eps_g = st.eps_gap_scale * (
+                st.admm_eps_abs + st.admm_eps_rel * g_sc
+            )
             converged = (r_p <= eps_p) & (r_d <= eps_d) & (gap <= eps_g)
 
             # infeasibility certificates from the iterate differences

@@ -270,7 +270,8 @@ def make_polished_solver(dims: ConeDims, n: int, settings, base=None,
         ) & (
             (jnp.max(jnp.abs(F2)) if m else jnp.asarray(0.0, x.dtype))
             <= settings.eps_abs + settings.eps_rel * p_sc
-        ) & (gap <= settings.eps_abs + settings.eps_rel * g_sc)
+        ) & (gap <= settings.eps_gap_scale
+             * (settings.eps_abs + settings.eps_rel * g_sc))
         # keep infeasibility verdicts; otherwise status is the KKT check
         status = jnp.where(
             (res.status == SOLVED) | (res.status == MAX_ITERS),

@@ -19,6 +19,17 @@ class SolverSettings:
 
     eps_abs: float = 1e-8        # final (post-polish) KKT tolerance
     eps_rel: float = 1e-8
+    eps_gap_scale: float = 1.0   # multiplier on the duality-gap term of
+    # every SOLVED certificate (post-polish and first-order internal
+    # stopping). Residual tolerances are unaffected. The escape hatch
+    # for the documented f32 limitation on flat-epigraph classes
+    # (sum_largest/huber-style degenerate aux intervals): the dual can
+    # stay ~1e-3 loose while the primal residuals and the solution are
+    # tight, so gap certification at eps 1e-4 fails those lanes on
+    # EVERY f32 route (refine.py); set ~10-100 there (or inf to drop
+    # the gap term entirely and accept residual-only certification —
+    # which bounds nothing at large |x|_1|y|_1 scales, the OT-LP
+    # lesson, so prefer a finite scale).
     admm_eps_abs: float = 1e-5   # internal ADMM stopping tolerance: just
     admm_eps_rel: float = 1e-5   # accurate enough for active-set identification
     eps_infeas: float = 1e-9

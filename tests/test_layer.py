@@ -666,6 +666,35 @@ class TestSolverArgsBehaviorContract:
 
         assert iters(1e-8) > iters(1e-2)
 
+    def test_eps_gap_scale_gates_certification(self):
+        # eps_gap_scale multiplies ONLY the duality-gap term of the
+        # SOLVED certificates (the escape hatch for flat-epigraph f32
+        # classes whose dual stays ~1e-3 loose while the solution is
+        # tight, refine.py). Wiring contract through the layer API: a
+        # zero scale makes the internal gap check unsatisfiable, so the
+        # first-order loop runs to the cap (vs ~50 iters at default);
+        # the final polish certificate still reads the gap (exactly 0.0
+        # here in f64 — the polish lands on the vertex — so SOLVED is
+        # correct at any scale); larger scales never un-solve a lane.
+        layer = self._layer()
+        r = np.random.default_rng(25)
+        tv = jnp.asarray(r.standard_normal(6))
+
+        def run(scale):
+            _, st, it = layer.solve_with_info(
+                tv, solver_args={"eps": 1e-6, "refine_steps": 8,
+                                 "max_iters": 2000,
+                                 "eps_gap_scale": scale},
+            )
+            return int(np.asarray(st)), int(np.asarray(it))
+
+        st1, it1 = run(1.0)
+        st_hi, _ = run(100.0)
+        st0, it0 = run(0.0)
+        assert st1 == 0 and st_hi == 0 and st0 == 0
+        assert it0 == 2000  # zero gap tolerance gates internal stopping
+        assert it1 < 200
+
     def test_max_iters_caps_and_flags(self):
         # a starved cap flags MAX_ITERS and reports iters == cap; the
         # eager API raises (diffcp.SolverError parity)
