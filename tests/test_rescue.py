@@ -115,6 +115,34 @@ class TestRescueRouting:
         np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(ref),
                                    atol=1e-7)
 
+    def test_warm_rescue_saves_iterations(self):
+        # the warm-started rescue CONTINUES the fast route's ADMM from
+        # its terminal iterates instead of redoing them cold — on
+        # MAX_ITERS lanes (the rescuable kind) the rescue stage's added
+        # iterations must be strictly fewer than the cold stage's (the
+        # softmax bench lever, +6.3% measured on v5e)
+        layer, _ = box_qp_layer()
+        B = 4
+        params = qp_batch(B)
+
+        # fast route does real work (60 iters) but stops short of the
+        # 1e-7 no-polish target; epoch 10 keeps the rescue's iteration
+        # count finely quantized so the warm saving is visible
+        fast = {"eps_abs": 1e-7, "eps_rel": 1e-7, "max_iters": 60,
+                "epoch": 10, "refine_steps": 0}
+        acc = {"eps_abs": 1e-7, "eps_rel": 1e-7, "max_iters": 2000,
+               "epoch": 10, "refine_steps": 6}
+
+        def total_iters(warm):
+            _, st, it = solve_with_rescue(
+                layer, *params, solver_args=fast, rescue_args=acc,
+                capacity=B, warm_start_rescue=warm,
+            )
+            assert np.all(np.asarray(st) == 0)
+            return int(np.asarray(it).sum())
+
+        assert total_iters(True) < total_iters(False)
+
     def test_max_iters_ranked_above_infeasible(self):
         # when failures exceed capacity, the budget goes to MAX_ITERS
         # lanes (rescuable) before infeasible verdicts (which the
